@@ -1,0 +1,104 @@
+"""Text normalizers (reference ops M5–M8, SURVEY.md §2.3).
+
+Clean-room re-implementation of the normalization rules observed in the
+reference (citations are file:line into /root/reference/):
+
+  * image scrub        — md/HTML/LaTeX image patterns → ``[图片]``
+                         (md_formatter.py:12-16, 92-110)
+  * LaTeX ``$…$``      — → ``\\(…\\)``  (pdf_extractor.py:156-160)
+  * formula detector   — math-symbol density > 0.1 OR sub/superscript/LaTeX
+                         command regex → whole text replaced by ``[公式]``
+                         (pdf_extractor.py:162-188)
+  * bullet markers     — private-use glyphs \uf06e/\uf075 → ``- ●`` / ``- ◆``
+                         with indent (pdf_extractor.py:18-21, 190-200)
+
+``normalize_paragraph`` applies them in the order image → latex → formula →
+markers, per paragraph (the reference applies them per extracted PDF page;
+our unit is the extracted web paragraph — documented delta).  All regexes are
+module-level compiled constants so batch UDFs pay compile cost once.
+"""
+
+from __future__ import annotations
+
+import re
+
+IMAGE_PLACEHOLDER = "[图片]"
+FORMULA_PLACEHOLDER = "[公式]"
+
+# md_formatter.py:12-16 — image patterns (md / HTML / LaTeX figure env)
+_RE_IMAGES = re.compile(
+    r'(!\[.*?\]\(.*?\))|(<img.*?src=".*?".*?>)|(\\begin\{figure\}.*?\\end\{figure\})',
+    re.DOTALL,
+)
+
+# pdf_extractor.py:159 — inline $…$ → \(…\)
+_RE_LATEX_INLINE = re.compile(r"\$(.*?)\$")
+
+# pdf_extractor.py:17 — math-symbol class (kept verbatim: it is the spec)
+_RE_MATH_SYMBOLS = re.compile(r"[\∑∏∫∮√∞∠∥≈≠≡≤≥±×÷→⇌⇔∨∧¬∃∀]")
+
+# pdf_extractor.py:174-178 — structural formula patterns
+_RE_SUBSCRIPT = re.compile(r"\w_{.+}")
+_RE_SUPERSCRIPT = re.compile(r"\w\^{.+}")
+_RE_LATEX_CMD = re.compile(r"\\[a-zA-Z]+")
+
+# pdf_extractor.py:18-21 — private-use directory-marker glyphs
+DIR_MARKERS = {
+    "\uf06e": ("●", 0),
+    "\uf075": ("◆", 1),
+}
+
+
+def scrub_images(text: str) -> str:
+    """Replace image markup with ``[图片]`` (block form gets newlines,
+    md_formatter.py:99-100)."""
+
+    def _rep(m: re.Match) -> str:
+        return f"\n{IMAGE_PLACEHOLDER}\n" if m.group().count("\n") > 1 else IMAGE_PLACEHOLDER
+
+    return _RE_IMAGES.sub(_rep, text)
+
+
+def convert_latex(text: str) -> str:
+    return _RE_LATEX_INLINE.sub(r"\\(\1\\)", text)
+
+
+def is_math_formula(text: str) -> bool:
+    """Symbol-density / structural-pattern formula predicate
+    (pdf_extractor.py:168-188)."""
+    if not text:
+        return False
+    density = len(_RE_MATH_SYMBOLS.findall(text)) / len(text)
+    if density > 0.1:
+        return True
+    return bool(
+        _RE_SUBSCRIPT.search(text)
+        or _RE_SUPERSCRIPT.search(text)
+        or _RE_LATEX_CMD.search(text)
+    )
+
+
+def replace_math(text: str) -> str:
+    return FORMULA_PLACEHOLDER if is_math_formula(text) else text
+
+
+def replace_dir_markers(text: str) -> str:
+    """Private-use glyph → markdown list marker, first marker per line wins
+    (pdf_extractor.py:190-200)."""
+    lines = []
+    for line in text.split("\n"):
+        for marker, (symbol, indent) in DIR_MARKERS.items():
+            if marker in line:
+                line = line.replace(marker, "    " * indent + f"- {symbol} ")
+                break
+        lines.append(line)
+    return "\n".join(lines)
+
+
+def normalize_paragraph(text: str) -> str:
+    """Full normalization pipeline for one extracted paragraph."""
+    out = scrub_images(text)
+    out = convert_latex(out)
+    out = replace_math(out)
+    out = replace_dir_markers(out)
+    return out
