@@ -1,0 +1,170 @@
+"""The knowledge-graph construction DAG (SURVEY.md §7.1 target dataflow).
+
+    pages ─extract+parse─▶ parsed ─┬─▶ links
+                                   ├─▶ nodes_raw ─▶ nodes (keep-first by id)
+                                   │        └────▶ canonical map (blocking-key groupby)
+                                   └─▶ triples_raw ─▶ edges (dedup + count, dangling dropped)
+                                             └─────▶ edges_canonical (broadcast-linked)
+
+Each function returns a *lazy* ``ray.data.Dataset``; nothing materializes
+until the caller consumes (write_parquet / to_pandas on small results).
+Wide steps use the salted three-level aggregation in stages/grouped.py;
+small-side lookups (node-id vocabulary, canonical map) are broadcast via
+``ray.put`` — never re-shipped per batch and never a second shuffle.
+
+Batch-size note: html rows are a few KB; 256 rows/batch keeps per-task
+overhead amortized while a batch × 32 concurrent tasks stays ≪ worker heap.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..sources import read_pages
+from ..stages.extract import extract_parse_batch, extract_text_batch, flatten_list_column
+from ..stages.grouped import (
+    count_first_combine,
+    count_first_partial,
+    keep_first_combine,
+    keep_first_partial,
+    salted_grouped_agg,
+)
+from ..stages.linkage import CanonicalizeTriples, canonical_map_ds
+
+EXTRACT_BATCH_SIZE = 256
+
+
+def parsed_ds(pages_path: str):
+    """pages → parsed page records (url, title, summary, text_out, links,
+    nodes, triples).  Column-pruned read: only url + html leave storage."""
+    return read_pages(pages_path, columns=["url", "html"]).map_batches(
+        extract_parse_batch, batch_format="pyarrow", batch_size=EXTRACT_BATCH_SIZE
+    )
+
+
+def extracted_ds(pages_path: str):
+    """pages → (url, title, summary, text_out, n_paras) — byte-identical-text
+    surface (north-rule invariant)."""
+    return read_pages(pages_path, columns=["url", "html"]).map_batches(
+        extract_text_batch, batch_format="pyarrow", batch_size=EXTRACT_BATCH_SIZE
+    )
+
+
+def links_ds(pages_path: str):
+    """Exploded scoped links (url, text, link_url) — ops M2/M3."""
+    return parsed_ds(pages_path).map_batches(
+        lambda t: flatten_list_column(t, "links", keep=["url"]),
+        batch_format="pyarrow",
+    )
+
+
+def nodes_raw_ds(source):
+    """parsed → one row per concept occurrence (pre-dedup).
+
+    ``source`` is a parsed Dataset or a pages path (string)."""
+    ds = parsed_ds(source) if isinstance(source, str) else source
+    return ds.map_batches(
+        lambda t: flatten_list_column(t, "nodes", keep=["url"]),
+        batch_format="pyarrow",
+    )
+
+
+def triples_raw_ds(source):
+    """parsed → one row per emitted relation (duplicates preserved —
+    md2csv.py:93 appends without dedup; dedup is the edges stage)."""
+    ds = parsed_ds(source) if isinstance(source, str) else source
+    return ds.map_batches(
+        lambda t: flatten_list_column(t, "triples", keep=["url"]),
+        batch_format="pyarrow",
+    )
+
+
+def nodes_ds(source, salt_buckets: int = 16):
+    """Global node dedup: keep-first by canonical id, ordered by ``seq``
+    (G1 resolved keep-first to match the scored Neo4j-side semantics G6 —
+    SURVEY.md §7.4 'last-write-wins vs first-wins')."""
+    return salted_grouped_agg(
+        nodes_raw_ds(source),
+        keys=["id"],
+        partial_fn=keep_first_partial(["id"], "seq"),
+        combine_fn=keep_first_combine(["id"], "seq"),
+        salt_from="url",
+        salt_buckets=salt_buckets,
+    )
+
+
+def _node_id_set(source) -> frozenset:
+    """Distinct node ids — the entity vocabulary (small side, broadcast).
+
+    Vocabulary cardinality ~ |entities|, not |corpus|; at 100 TB this is the
+    canonical broadcast-semi-join case (SURVEY.md §2.5 J1).  If the
+    vocabulary ever outgrew memory the fallback is a hash-bucketed join on
+    id — not needed at this corpus/vocab ratio."""
+    ids = nodes_raw_ds(source).select_columns(["id"]).unique("id")
+    return frozenset(ids)
+
+
+def edges_ds(source, node_ids: frozenset | None = None, salt_buckets: int = 16):
+    """Triple dedup + graph materialization (G2/G6): drop dangling endpoints
+    (reference policy J1: both endpoints must be known concepts), then
+    groupby (subj, pred, obj) → weight = occurrence count, representative
+    names/props = global keep-first by seq."""
+    import ray
+
+    triples = triples_raw_ds(source)
+    if node_ids is None:
+        node_ids = _node_id_set(source)
+    ids_ref = ray.put(node_ids)
+
+    def _drop_dangling(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ids_ref)
+        m = batch["subj"].isin(ids) & batch["obj"].isin(ids)
+        return batch[m].reset_index(drop=True)
+
+    kept = triples.map_batches(_drop_dangling, batch_format="pandas")
+    return salted_grouped_agg(
+        kept,
+        keys=["subj", "pred", "obj"],
+        partial_fn=count_first_partial(["subj", "pred", "obj"], "seq"),
+        combine_fn=count_first_combine(["subj", "pred", "obj"], "seq"),
+        salt_from="url",
+        salt_buckets=salt_buckets,
+    )
+
+
+def canonical_nodes_ds(source, salt_buckets: int = 16):
+    """Canonical entity table after linking: one row per blocking key —
+    (norm_key, canon_name, canon_id)."""
+    return canonical_map_ds(nodes_raw_ds(source), salt_buckets=salt_buckets)
+
+
+def edges_canonical_ds(source, canon_map: dict | None = None, concurrency: int = 4):
+    """Canonicalized, deduplicated edge table: endpoints rewritten to
+    canonical ids via the broadcast canonical map (actor pool — map fetched
+    once per actor), unknown blocking keys dropped, then the same salted
+    dedup-count as edges_ds."""
+    import ray
+
+    triples = triples_raw_ds(source)
+    if canon_map is None:
+        canon_pdf = canonical_nodes_ds(source).to_pandas()
+        canon_map = {
+            k: (i, n)
+            for k, i, n in zip(canon_pdf["norm_key"], canon_pdf["canon_id"], canon_pdf["canon_name"])
+        }
+    ref = ray.put(canon_map)
+    linked = triples.map_batches(
+        CanonicalizeTriples,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+    return salted_grouped_agg(
+        linked,
+        keys=["subj", "pred", "obj"],
+        partial_fn=count_first_partial(["subj", "pred", "obj"], "seq"),
+        combine_fn=count_first_combine(["subj", "pred", "obj"], "seq"),
+        salt_from="url",
+        salt_buckets=16,
+    )
