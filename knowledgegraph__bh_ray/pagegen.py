@@ -229,12 +229,23 @@ def _render_html(
     return "\n".join(parts)
 
 
-def generate_pages_table(documents_path: str) -> pa.Table:
-    """documents.parquet → deterministic pages table (one page per doc)."""
+def generate_pages_table(documents_path: str, replicas: int = 1) -> pa.Table:
+    """documents.parquet → deterministic pages table.
+
+    ``replicas`` > 1 amplifies the corpus for benchmarking: replica r of doc
+    d becomes virtual doc id ``d + r * n_docs`` with its own seeded content
+    (different grammar lines over the same text words) — deterministic, no
+    external data, and replicas=1 reproduces the unamplified table exactly."""
     docs = pq.read_table(documents_path, columns=["doc_id", "text", "lang"])
-    doc_ids = docs.column("doc_id").to_pylist()
-    texts = docs.column("text").to_pylist()
-    langs = docs.column("lang").to_pylist()
+    base_ids = docs.column("doc_id").to_pylist()
+    base_texts = docs.column("text").to_pylist()
+    base_langs = docs.column("lang").to_pylist()
+    n_base = len(base_ids)
+    doc_ids, texts, langs = [], [], []
+    for r in range(replicas):
+        doc_ids.extend(d + r * n_base for d in base_ids)
+        texts.extend(base_texts)
+        langs.extend(base_langs)
     n_docs = len(doc_ids)
     ent_names, ent_types = entity_pool(n_docs)
 
@@ -280,19 +291,21 @@ def generate_pages_table(documents_path: str) -> pa.Table:
     )
 
 
-def pages_path(sf_dir: str, root: str = PAGES_ROOT) -> str:
+def pages_path(sf_dir: str, root: str = PAGES_ROOT, replicas: int = 1) -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
+    if replicas > 1:
+        sf_name = f"{sf_name}_x{replicas}"
     return os.path.join(root, sf_name, "pages.parquet")
 
 
-def ensure_pages(sf_dir: str, root: str = PAGES_ROOT) -> str:
+def ensure_pages(sf_dir: str, root: str = PAGES_ROOT, replicas: int = 1) -> str:
     """Generate (once, atomically) the pages table for an sf dir; return its
     path.  Deterministic → concurrent/repeated generation is idempotent."""
-    out = pages_path(sf_dir, root)
+    out = pages_path(sf_dir, root, replicas)
     if os.path.exists(out):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    table = generate_pages_table(os.path.join(sf_dir, "documents.parquet"))
+    table = generate_pages_table(os.path.join(sf_dir, "documents.parquet"), replicas)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out), suffix=".parquet.tmp")
     os.close(fd)
     try:

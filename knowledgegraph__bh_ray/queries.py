@@ -1,0 +1,451 @@
+"""Driver-contract query registry: Ray pipelines + DuckDB oracle SQL mirrors.
+
+Each entry in :func:`build_queries` is one operator/pipeline from
+SURVEY.md §2 (or a training-data op from the task brief); the matching entry
+in :func:`build_oracle_sql` is ANSI SQL that DuckDB runs on the same inputs.
+
+Oracle-input model: the testdata views (documents, embeddings, lineitem, …)
+are pre-registered by the driver; the synthesized pages table and the
+single-process-oracle golden tables live under /tmp (pagegen.ensure_pages /
+oracle.ensure_golden — both deterministic and idempotent, created when this
+module builds the registry and again inside every callable).  SQL reads them
+via read_parquet(path).  Golden-file SQL appears ONLY where the transform is
+not SQL-expressible (HTML parsing); everything downstream of the golden raw
+tables (filters, joins, dedup groupbys, linking, degree) is real SQL
+semantics recomputed by DuckDB.
+
+Numeric policy: aggregates are integers (counts, floored cents) so the
+driver's value-hash is exact across engines; see pipelines/relational.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from .oracle import ensure_golden, golden_dir
+from .pagegen import ensure_pages, pages_path
+from .pipelines import kg, relational, textops
+from .sources import read_pages, read_table
+from .stages import dedup, embed, ner, simsearch
+
+SF_CORRECTNESS = "/root/testdata/sf0.01"  # the driver's oracle-compare scale
+
+# paths the static SQL strings point at (sf0.01)
+_G = golden_dir(SF_CORRECTNESS)
+_P = pages_path(SF_CORRECTNESS)
+
+# normalization expression — SQL mirror of stages/linkage.normalize_surface
+_NORM = (
+    "lower(trim(regexp_replace(regexp_replace({col}, '[《》]', '', 'g'), '\\s+', ' ', 'g')))"
+)
+
+_TOKENS = "regexp_split_to_array(trim({col}), '\\s+')"
+_NTOK = "CASE WHEN trim({col}) = '' THEN 0 ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END"
+
+
+def _prep(sf_dir: str) -> str:
+    """Make sure pages + golden exist for this sf dir; return pages path."""
+    p = ensure_pages(sf_dir)
+    ensure_golden(sf_dir)
+    return p
+
+
+def _query_vectors(sf_dir: str, ids=(0, 1, 2)) -> dict[int, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    wanted = {}
+    for vid, emb in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()):
+        if vid in ids:
+            wanted[vid] = np.array(emb, dtype=np.float64)
+    return wanted
+
+
+# ---------------------------------------------------------------------------
+# Ray-side callables
+# ---------------------------------------------------------------------------
+
+
+def q_kg_extract(sf_dir: str):
+    return kg.extracted_ds(_prep(sf_dir))
+
+
+def q_kg_links(sf_dir: str):
+    return kg.links_ds(_prep(sf_dir))
+
+
+def q_kg_triples_raw(sf_dir: str):
+    return kg.triples_raw_ds(_prep(sf_dir)).select_columns(
+        ["url", "seq", "subj", "pred", "obj", "subj_name", "obj_name", "props_json"]
+    )
+
+
+def q_kg_nodes_raw(sf_dir: str):
+    return kg.nodes_raw_ds(_prep(sf_dir)).select_columns(
+        ["url", "seq", "id", "name", "type", "parent", "props_json"]
+    )
+
+
+def q_kg_nodes(sf_dir: str):
+    return kg.nodes_ds(_prep(sf_dir))
+
+
+def q_kg_edges(sf_dir: str):
+    return kg.edges_ds(_prep(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "subj_name", "obj_name", "weight"]
+    )
+
+
+def q_kg_entity_link(sf_dir: str):
+    return kg.canonical_nodes_ds(_prep(sf_dir))
+
+
+def q_kg_edges_canonical(sf_dir: str):
+    return kg.edges_canonical_ds(_prep(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "subj_name", "obj_name", "weight"]
+    )
+
+
+def q_kg_degree(sf_dir: str):
+    edges = kg.edges_ds(_prep(sf_dir))
+
+    def _deg(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": [group["subj"].iloc[0]],
+                "n_out": np.int64(len(group)),
+                "total_weight": group["weight"].sum(),
+            }
+        )
+
+    return edges.groupby("subj").map_groups(_deg, batch_format="pandas")
+
+
+def q_kg_mentions(sf_dir: str):
+    pages = _prep(sf_dir)
+    names = kg.nodes_raw_ds(pages).unique("name")
+    types = ["CONCEPT"] * len(names)
+    return ner.mentions_ds(kg.extracted_ds(pages), (names, types))
+
+
+def q_media_meta(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.media import media_meta_batch
+
+    return read_pages(_prep(sf_dir), columns=["url", "html"]).map_batches(
+        media_meta_batch, batch_format="pyarrow"
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    return textops.dedup_exact_ds(sf_dir)
+
+
+def q_text_quality(sf_dir: str):
+    return textops.text_quality_ds(sf_dir)
+
+
+def q_token_count_by_lang(sf_dir: str):
+    return textops.token_count_by_lang_ds(sf_dir)
+
+
+def q_lang_id(sf_dir: str):
+    return kg.extracted_ds(_prep(sf_dir)).map_batches(
+        lambda b: textops.lang_id_batch(b, "text_out", "url"), batch_format="pandas"
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return textops.fingerprint_ds(sf_dir)
+
+
+def q_agg_lineitem(sf_dir: str):
+    return relational.agg_lineitem_ds(sf_dir)
+
+
+def q_join_volume(sf_dir: str):
+    return relational.join_volume_ds(sf_dir)
+
+
+def q_top_parts(sf_dir: str):
+    return relational.top_parts_ds(sf_dir)
+
+
+def q_events_window(sf_dir: str):
+    return relational.events_window_ds(sf_dir)
+
+
+def q_events_sessionize(sf_dir: str):
+    return relational.events_sessionize_ds(sf_dir)
+
+
+def q_simsearch_topk(sf_dir: str):
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return simsearch.brute_topk_ds(emb, _query_vectors(sf_dir), "vec_id", "embedding", k=10)
+
+
+def q_simsearch_lsh(sf_dir: str):
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return simsearch.lsh_topk_ds(emb, _query_vectors(sf_dir), "vec_id", "embedding", k=10)
+
+
+def q_dedup_embedding(sf_dir: str):
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return dedup.embedding_pairs_ds(emb, "label", "vec_id", "embedding", threshold=0.3)
+
+
+def q_dedup_jaccard(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return dedup.jaccard_pairs_ds(docs, "source", "doc_id", "text", threshold=0.5)
+
+
+def q_dedup_minhash(sf_dir: str):
+    ext = kg.extracted_ds(_prep(sf_dir)).select_columns(["url", "text_out"])
+    return dedup.minhash_pairs_ds(ext, "url", "text_out", threshold=0.8)
+
+
+def q_dedup_simhash(sf_dir: str):
+    ext = kg.extracted_ds(_prep(sf_dir)).select_columns(["url", "text_out"])
+    return dedup.simhash_pairs_ds(ext, "url", "text_out", max_hamming=3)
+
+
+def q_embed_concepts(sf_dir: str):
+    nodes = kg.nodes_ds(_prep(sf_dir)).select_columns(["id", "name"])
+    return embed.embed_ds(nodes, "name")
+
+
+def q_rag_topk(sf_dir: str):
+    nodes = kg.nodes_ds(_prep(sf_dir)).select_columns(["id", "name"])
+    embedded = embed.embed_ds(nodes, "name")
+    return embed.rag_topk(embedded, "实体1", "name", k=5)
+
+
+QUERIES = {
+    "kg_extract": q_kg_extract,
+    "kg_links": q_kg_links,
+    "kg_triples_raw": q_kg_triples_raw,
+    "kg_nodes_raw": q_kg_nodes_raw,
+    "kg_nodes": q_kg_nodes,
+    "kg_edges": q_kg_edges,
+    "kg_entity_link": q_kg_entity_link,
+    "kg_edges_canonical": q_kg_edges_canonical,
+    "kg_degree": q_kg_degree,
+    "kg_mentions": q_kg_mentions,
+    "media_meta": q_media_meta,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "doc_fingerprint": q_doc_fingerprint,
+    "text_quality": q_text_quality,
+    "token_count_by_lang": q_token_count_by_lang,
+    "lang_id": q_lang_id,
+    "agg_lineitem": q_agg_lineitem,
+    "join_volume": q_join_volume,
+    "top_parts": q_top_parts,
+    "events_window": q_events_window,
+    "events_sessionize": q_events_sessionize,
+    "simsearch_topk": q_simsearch_topk,
+    "simsearch_lsh": q_simsearch_lsh,
+    "embed_concepts": q_embed_concepts,
+    "rag_topk": q_rag_topk,
+}
+
+
+def build_queries() -> dict:
+    # make sure the sf0.01 inputs the static SQL points at exist, whatever
+    # order the driver runs things in
+    if os.path.isdir(SF_CORRECTNESS):
+        _prep(SF_CORRECTNESS)
+    return dict(QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (sf0.01 paths; driver-registered views for testdata)
+# ---------------------------------------------------------------------------
+
+_SK = _NORM.format(col="subj_name")
+_OK = _NORM.format(col="obj_name")
+_CANON = f"""
+    SELECT {_NORM.format(col='name')} AS norm_key,
+           arg_min(name, seq) AS canon_name,
+           substr(md5(arg_min(name, seq)), 1, 8) AS canon_id
+    FROM read_parquet('{_G}/nodes_raw.parquet')
+    GROUP BY 1
+"""
+
+_EDGES = f"""
+    WITH t AS (SELECT * FROM read_parquet('{_G}/triples_raw.parquet')),
+         ids AS (SELECT DISTINCT substr(md5(name),1,8) AS id
+                 FROM read_parquet('{_G}/nodes_raw.parquet'))
+    SELECT t.subj, t.pred, t.obj,
+           arg_min(t.subj_name, t.seq) AS subj_name,
+           arg_min(t.obj_name, t.seq) AS obj_name,
+           count(*) AS weight
+    FROM t JOIN ids s ON t.subj = s.id JOIN ids o ON t.obj = o.id
+    GROUP BY t.subj, t.pred, t.obj
+"""
+
+
+def build_oracle_sql() -> dict[str, str]:
+    return {
+        "kg_extract": (
+            f"SELECT url, title, summary, text_out, n_paras "
+            f"FROM read_parquet('{_G}/extracted.parquet')"
+        ),
+        "kg_links": (
+            f"SELECT url, text, 'https://baike.baidu.com' || split_part(href, '?', 1) AS link_url "
+            f"FROM read_parquet('{_G}/links_raw.parquet') WHERE href LIKE '/item/%'"
+        ),
+        "kg_triples_raw": (
+            f"SELECT url, seq, substr(md5(subj_name),1,8) AS subj, pred, "
+            f"substr(md5(obj_name),1,8) AS obj, subj_name, obj_name, props_json "
+            f"FROM read_parquet('{_G}/triples_raw.parquet')"
+        ),
+        "kg_nodes_raw": (
+            f"SELECT url, seq, substr(md5(name),1,8) AS id, name, type, parent, props_json "
+            f"FROM read_parquet('{_G}/nodes_raw.parquet')"
+        ),
+        "kg_nodes": (
+            f"SELECT id, arg_min(url, seq) AS url, min(seq) AS seq, "
+            f"arg_min(name, seq) AS name, arg_min(type, seq) AS type, "
+            f"arg_min(parent, seq) AS parent, arg_min(props_json, seq) AS props_json "
+            f"FROM read_parquet('{_G}/nodes_raw.parquet') GROUP BY id"
+        ),
+        "kg_edges": _EDGES,
+        "kg_entity_link": _CANON,
+        "kg_edges_canonical": f"""
+            WITH canon AS ({_CANON}),
+                 t AS (SELECT pred, seq, {_SK} AS sk, {_OK} AS ok
+                       FROM read_parquet('{_G}/triples_raw.parquet'))
+            SELECT cs.canon_id AS subj, t.pred, co.canon_id AS obj,
+                   cs.canon_name AS subj_name, co.canon_name AS obj_name,
+                   count(*) AS weight
+            FROM t JOIN canon cs ON t.sk = cs.norm_key
+                   JOIN canon co ON t.ok = co.norm_key
+            GROUP BY 1, 2, 3, 4, 5
+        """,
+        "kg_degree": f"""
+            WITH e AS ({_EDGES})
+            SELECT subj, count(*) AS n_out, sum(weight)::BIGINT AS total_weight
+            FROM e GROUP BY subj
+        """,
+        "media_meta": (
+            f"SELECT url, octet_length(html)::BIGINT AS n_bytes, "
+            f"md5(decode(html)) AS content_md5 FROM read_parquet('{_P}')"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, "
+            "count(*) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "dedup_jaccard": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+              FROM documents WHERE trim(text) != ''
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.toks, b.toks)) * 1.0
+                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+            FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   ({_NTOK.format(col='text')})::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE
+                     len(list_filter({_TOKENS.format(col='lower(text)')},
+                         x -> x IN ('the','a','of','and','to'))) END::BIGINT AS n_stopwords
+            FROM documents
+        """,
+        "token_count_by_lang": f"""
+            SELECT lang, sum({_NTOK.format(col='text')})::BIGINT AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "lang_id": f"""
+            SELECT url, n_chars, n_cjk,
+                   CASE WHEN n_chars > 0 AND n_cjk * 1.0 / n_chars > 0.3
+                        THEN 'zh' ELSE 'en' END AS lang_pred
+            FROM (SELECT url, length(text_out)::BIGINT AS n_chars,
+                         len(regexp_extract_all(text_out, '[一-鿿]'))::BIGINT AS n_cjk
+                  FROM read_parquet('{_G}/extracted.parquet'))
+        """,
+        "agg_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(FLOOR(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+                   sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_price_cents,
+                   sum(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))::BIGINT
+                     AS sum_disc_price_cents,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_volume": """
+            SELECT n_name,
+                   sum(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))::BIGINT
+                     AS revenue_cents,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_parts": (
+            "SELECT p_partkey, p_name, p_retailprice FROM part "
+            "ORDER BY p_retailprice DESC, p_partkey LIMIT 10"
+        ),
+        "events_window": """
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   sum(CAST(FLOOR(value * 100) AS BIGINT))::BIGINT AS sum_value_cents,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+                 o AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                                                  ORDER BY ts_us, event_id) AS prev FROM e),
+                 s AS (SELECT *, sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                                          THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM o)
+            SELECT user_id, min(ts_us)::BIGINT AS session_start_us,
+                   max(ts_us)::BIGINT AS session_end_us, count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "simsearch_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2))
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                         CAST(q.qe AS DOUBLE[])) DESC,
+                                  e.vec_id) AS rank
+                FROM embeddings e, q)
+            WHERE rank <= 10
+        """,
+        # dedup_minhash / dedup_simhash / doc_fingerprint / simsearch_lsh /
+        # kg_mentions / embed_concepts / rag_topk: not SQL-expressible
+        # (signature/sketch/model ops) → rows-only check; their semantics are
+        # pytest-verified against brute-force references.
+    }

@@ -1,0 +1,229 @@
+"""Near-duplicate detection suite (training-data ops, task brief).
+
+  * MinHash + LSH   — shingle → minhash signature → banded LSH groupby →
+                      candidate pairs → signature-estimated Jaccard verify
+  * SimHash         — 64-bit token-feature simhash, banded candidate
+                      generation, Hamming-distance verify
+  * n-gram Jaccard  — exact word-set Jaccard pairs within a blocking group
+  * embedding cosine— exact pairwise cosine within a blocking group
+
+All candidate generation is shuffle-based (``groupby`` on band/bucket keys —
+never an all-pairs scan across blocks); exact variants restrict the
+quadratic work to within explicitly-blocked groups and exist to oracle-check
+the approximate paths.  Signatures are computed per batch with numpy; the
+hash family is seeded (seed=42) and deterministic across processes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..functions.hashing import stable_u64
+
+RE_WS = re.compile(r"\s+")
+
+_MERSENNE = (1 << 61) - 1
+N_PERM = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+_rng = np.random.default_rng(42)
+_A = _rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+_B = _rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def _word_shingles(text: str, n: int = 3) -> np.ndarray:
+    toks = RE_WS.split(text.strip()) if text.strip() else []
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return np.unique(np.array([stable_u64(g) % _MERSENNE for g in grams], dtype=np.uint64))
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """N_PERM-wide minhash signature of word-3-gram shingles (uint64)."""
+    sh = _word_shingles(text)
+    if len(sh) == 0:
+        return np.zeros(N_PERM, dtype=np.uint64)
+    # h_i(x) = (a_i * x + b_i) mod p, vectorized over (perm, shingle)
+    vals = (_A[:, None] * sh[None, :] + _B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_bands_batch(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    """doc → N_BANDS rows (band_id, band_hash, id, sig_csv): LSH banding."""
+    out = {"band_id": [], "band_hash": [], id_col: [], "sig": []}
+    for doc_id, text in zip(batch[id_col], batch[text_col]):
+        sig = minhash_signature(text)
+        sig_csv = ",".join(map(str, sig))
+        for b in range(N_BANDS):
+            band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            out["band_id"].append(b)
+            out["band_hash"].append(str(stable_u64(",".join(map(str, band)))))
+            out[id_col].append(doc_id)
+            out["sig"].append(sig_csv)
+    return pd.DataFrame(out)
+
+
+def candidate_pairs_from_band(group: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFrame:
+    """One LSH bucket → verified candidate pairs (estimated Jaccard =
+    matching minhash positions / N_PERM ≥ threshold)."""
+    g = group.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
+    ids = g[id_col].tolist()
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
+                             "id_b": pd.Series([], dtype=g[id_col].dtype),
+                             "est_jaccard": pd.Series([], dtype="float64")})
+    sigs = np.array([[int(x) for x in s.split(",")] for s in g["sig"]], dtype=np.uint64)
+    rows_a, rows_b, est = [], [], []
+    for i in range(len(ids)):
+        match = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        for off, m in enumerate(match):
+            if m >= threshold:
+                rows_a.append(ids[i])
+                rows_b.append(ids[i + 1 + off])
+                est.append(float(m))
+    return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "est_jaccard": est})
+
+
+def minhash_pairs_ds(ds, id_col: str, text_col: str, threshold: float = 0.8):
+    """Dataset(id, text) → near-dup pairs (id_a, id_b, est_jaccard), distinct.
+
+    band explode (map_batches) → groupby(band_id, band_hash) → per-bucket
+    verify → distinct pairs (a pair can surface from several bands)."""
+    bands = ds.map_batches(
+        lambda b: minhash_bands_batch(b, id_col, text_col), batch_format="pandas"
+    )
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: candidate_pairs_from_band(g, id_col, threshold), batch_format="pandas"
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1).reset_index(drop=True), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def simhash64(text: str) -> int:
+    toks = RE_WS.split(text.strip()) if text.strip() else []
+    if not toks:
+        return 0
+    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    for t in toks:
+        h = np.uint64(stable_u64(t))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(SIMHASH_BITS):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_bands_batch(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    out = {"band_id": [], "band_val": [], id_col: [], "simhash": []}
+    for doc_id, text in zip(batch[id_col], batch[text_col]):
+        h = simhash64(text)
+        for b in range(SIMHASH_BANDS):
+            out["band_id"].append(b)
+            out["band_val"].append(str((h >> (b * _BAND_BITS)) & ((1 << _BAND_BITS) - 1)))
+            out[id_col].append(doc_id)
+            out["simhash"].append(str(h))
+    return pd.DataFrame(out)
+
+
+def simhash_pairs_ds(ds, id_col: str, text_col: str, max_hamming: int = 3):
+    """Near-dup pairs by simhash: equal band → candidate, Hamming ≤ k verify."""
+
+    def _verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
+        ids = g[id_col].tolist()
+        hs = [int(x) for x in g["simhash"]]
+        rows = {"id_a": [], "id_b": [], "hamming": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if d <= max_hamming:
+                    rows["id_a"].append(ids[i])
+                    rows["id_b"].append(ids[j])
+                    rows["hamming"].append(d)
+        out = pd.DataFrame(rows)
+        if out.empty:
+            out = pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
+                                "id_b": pd.Series([], dtype=g[id_col].dtype),
+                                "hamming": pd.Series([], dtype="int64")})
+        out["hamming"] = out["hamming"].astype("int64")
+        return out
+
+    bands = ds.map_batches(
+        lambda b: simhash_bands_batch(b, id_col, text_col), batch_format="pandas"
+    )
+    pairs = bands.groupby(["band_id", "band_val"]).map_groups(_verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1).reset_index(drop=True), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact blocked variants (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs_ds(ds, block_col: str, id_col: str, text_col: str, threshold: float):
+    """Exact word-set Jaccard pairs within blocking groups (SQL-mirrorable:
+    list_intersect/list_distinct in DuckDB).  Quadratic only within a block."""
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].tolist()
+        sets = [frozenset(RE_WS.split(t.strip().lower())) if t.strip() else frozenset()
+                for t in g[text_col]]
+        rows = {"id_a": [], "id_b": [], "jaccard": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                u = len(sets[i] | sets[j])
+                jac = (len(sets[i] & sets[j]) / u) if u else 0.0
+                if jac >= threshold:
+                    rows["id_a"].append(ids[i])
+                    rows["id_b"].append(ids[j])
+                    rows["jaccard"].append(jac)
+        out = pd.DataFrame(rows)
+        if out.empty:
+            out = pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
+                                "id_b": pd.Series([], dtype=g[id_col].dtype),
+                                "jaccard": pd.Series([], dtype="float64")})
+        return out
+
+    return ds.groupby(block_col).map_groups(_pairs, batch_format="pandas")
+
+
+def embedding_pairs_ds(ds, block_col: str, id_col: str, vec_col: str, threshold: float):
+    """Exact pairwise-cosine near-dup pairs within blocking groups —
+    vectorized matmul per group; the scale path replaces the blocking column
+    with LSH bucket ids (see simsearch.lsh_buckets_batch)."""
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, kind="mergesort")
+        ids = np.array(g[id_col].tolist())
+        M = np.vstack(g[vec_col].to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = Mn @ Mn.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        m = S[iu, ju] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[iu[m]], "id_b": ids[ju[m]]}
+        ).astype({"id_a": "int64", "id_b": "int64"})
+
+    return ds.groupby(block_col).map_groups(_pairs, batch_format="pandas")

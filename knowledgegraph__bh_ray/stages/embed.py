@@ -1,0 +1,94 @@
+"""Embedding generation + RAG top-k (reference ops A3 / W10 / T1, rag_query).
+
+The reference loads a SentenceTransformer once and batch-encodes concept
+names and relation phrases (embedding_generator.py:23-67), then serves
+brute-force cosine top-k (rag_query.py:92-122).  The engine keeps the exact
+actor-pool shape; the model slot is a deterministic hash-projection encoder
+(no torch here — any encoder class with the same signature drops in).
+Relation phrase = "{subj_name} {pred} {obj_name}" (embedding_generator.py:55).
+
+Output embeddings are native Arrow ``list<float32>`` columns — the
+reference's stringified-vector CSV round-trip (rag_query.py:74) disappears.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+EMBED_DIM = 64
+
+
+def fake_encode(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic stand-in encoder: md5-seeded gaussian per text,
+    L2-normalized.  Equal texts → equal vectors (so top-k is meaningful)."""
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        seed = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:4], "big")
+        v = np.random.default_rng(seed).standard_normal(dim)
+        out[i] = (v / np.linalg.norm(v)).astype(np.float32)
+    return out
+
+
+class Embedder:
+    """Actor-pool encoder: 'model load' once per actor, batched encode."""
+
+    def __init__(self, text_col: str, dim: int = EMBED_DIM):
+        self.text_col = text_col
+        self.dim = dim  # a real model would be loaded here, once
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = fake_encode(batch[self.text_col].tolist(), self.dim)
+        out = batch.copy()
+        out["embedding"] = list(vecs)
+        return out
+
+
+def embed_ds(ds, text_col: str, concurrency: int = 4, batch_size: int = 512):
+    return ds.map_batches(
+        Embedder,
+        fn_constructor_args=(text_col,),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def relation_phrase_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """edges → relation phrases "{subj_name} {pred} {obj_name}"."""
+    return pd.DataFrame(
+        {
+            "phrase": batch["subj_name"] + " " + batch["pred"] + " " + batch["obj_name"],
+            "subj": batch["subj"],
+            "obj": batch["obj"],
+        }
+    )
+
+
+def rag_topk(ds_embedded, query_text: str, text_col: str, k: int = 5) -> pd.DataFrame:
+    """Brute-force cosine top-k of a query against an embedded Dataset —
+    per-batch partial top-k then a tiny driver-side merge (rag_query.py
+    semantics, distributed)."""
+    import ray
+
+    q = fake_encode([query_text])[0].astype(np.float64)
+    q /= np.linalg.norm(q)
+    q_ref = ray.put(q)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(q_ref)
+        M = np.vstack(batch["embedding"].to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ qv
+        kk = min(k, len(sims))
+        top = np.argpartition(-sims, kk - 1)[:kk]
+        return pd.DataFrame({text_col: batch[text_col].to_numpy()[top], "similarity": sims[top]})
+
+    partials = ds_embedded.map_batches(_partial, batch_format="pandas").to_pandas()
+    return (
+        partials.sort_values(["similarity", text_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,97 @@
+"""Mention detection — the stateful actor-pool stage (reference op A2/M14).
+
+The reference hosts a BiLSTM-CRF tagger loaded once per process and predicts
+line-at-a-time (bilstm_crf_ner.py:648-676, 836-846).  This engine keeps the
+exact stage shape — load-once state in ``__init__``, batched inference in
+``__call__``, per-char BIOES tags decoded with the reference's rules
+(functions/bioes.py) — but the model slot is filled by a deterministic
+gazetteer tagger (no torch in this environment; the Ray-side plumbing is the
+deliverable, and the slot is pluggable: any callable class with the same
+batch signature drops in).
+
+Gazetteer matching: longest-match-first, non-overlapping, via one compiled
+alternation regex built once per actor from the broadcast vocabulary
+(``ray.put`` on the driver, ``ray.get`` in ``__init__`` — never per batch).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from ..functions.bioes import decode_bioes, encode_bioes
+
+MAX_GAZETTEER = 50_000  # vocab cap; longest names win (documented truncation)
+
+
+def build_gazetteer_pattern(names: list[str]) -> re.Pattern:
+    vocab = sorted(set(n for n in names if n), key=lambda n: (-len(n), n))[:MAX_GAZETTEER]
+    if not vocab:
+        return re.compile(r"(?!x)x")  # matches nothing
+    return re.compile("|".join(re.escape(n) for n in vocab))
+
+
+def tag_mentions(text: str, pattern: re.Pattern, type_of: dict[str, str]) -> list[dict]:
+    """Text → mentions via BIOES round-trip (tag then decode, like the
+    reference's predict path): spans from the gazetteer regex →
+    encode_bioes → decode_bioes → (entity, type) + positions."""
+    spans = []
+    for m in pattern.finditer(text):
+        spans.append((m.start(), m.end(), type_of.get(m.group(), "CONCEPT")))
+    labels = encode_bioes(text, spans)
+    entities = decode_bioes(text, labels)
+    out = []
+    pos = 0
+    for entity, etype in entities:
+        start = text.find(entity, pos)
+        out.append({"entity": entity, "etype": etype, "start": start, "end": start + len(entity)})
+        pos = start + len(entity)
+    return out
+
+
+class GazetteerNER:
+    """Actor-pool mention detector.
+
+    ``__init__`` (once per actor): fetch the broadcast (names, types) vocab,
+    compile the alternation pattern.
+    ``__call__`` (per batch): tag every paragraph of ``text_out``; one output
+    row per mention (url, para_idx, entity, etype, start, end).
+    """
+
+    def __init__(self, gazetteer_ref):
+        import ray
+
+        names, types = ray.get(gazetteer_ref)
+        self.type_of = dict(zip(names, types))
+        self.pattern = build_gazetteer_pattern(list(names))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"url": [], "para_idx": [], "entity": [], "etype": [], "start": [], "end": []}
+        for url, text in zip(batch["url"], batch["text_out"]):
+            for pi, para in enumerate(text.split("\n")):
+                for m in tag_mentions(para, self.pattern, self.type_of):
+                    out["url"].append(url)
+                    out["para_idx"].append(pi)
+                    out["entity"].append(m["entity"])
+                    out["etype"].append(m["etype"])
+                    out["start"].append(m["start"])
+                    out["end"].append(m["end"])
+        df = pd.DataFrame(out)
+        for c in ("para_idx", "start", "end"):
+            df[c] = df[c].astype("int64")
+        return df
+
+
+def mentions_ds(extracted, gazetteer: tuple[list[str], list[str]], concurrency: int = 4):
+    """extracted(url, text_out) → mentions via the GazetteerNER actor pool."""
+    import ray
+
+    ref = ray.put(gazetteer)
+    return extracted.map_batches(
+        GazetteerNER,
+        fn_constructor_args=(ref,),
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=concurrency,
+    )
