@@ -139,7 +139,7 @@ def canonical_nodes_ds(source, salt_buckets: int = 16):
     return canonical_map_ds(nodes_raw_ds(source), salt_buckets=salt_buckets)
 
 
-def edges_canonical_ds(source, canon_map: dict | None = None, concurrency: int = 4):
+def edges_canonical_ds(source, canon_map: dict | None = None, concurrency=(1, 4)):
     """Canonicalized, deduplicated edge table: endpoints rewritten to
     canonical ids via the broadcast canonical map (actor pool — map fetched
     once per actor), unknown blocking keys dropped, then the same salted

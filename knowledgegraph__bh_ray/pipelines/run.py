@@ -44,6 +44,7 @@ def run_kg_pipeline(
     num_shards: int = 8,
     resume_granularity: int = 1,
     counter: "ray.actor.ActorHandle | None" = None,
+    _fail_after_units: int | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline; returns the manifest records.
 
@@ -55,6 +56,14 @@ def run_kg_pipeline(
     manifest = Manifest(out_dir)
     done = manifest.done_units()
     counter = counter or CounterActor.remote()
+    completed_now = 0
+
+    def _checkpoint_gate():
+        """Test hook: simulate a mid-run kill after N completed units."""
+        nonlocal completed_now
+        completed_now += 1
+        if _fail_after_units is not None and completed_now >= _fail_after_units:
+            raise RuntimeError(f"injected failure after {completed_now} units")
 
     # ---- phase 1: extract+parse → parsed/shard=K ---------------------------
     groups = [
@@ -105,6 +114,7 @@ def run_kg_pipeline(
             counters=ray.get(counter.get_all.remote()),
             wall_sec=time.time() - t0,
         )
+        _checkpoint_gate()
 
     def _parsed(columns=None):
         return rd.read_parquet(parsed_dir, columns=columns)
@@ -118,6 +128,7 @@ def run_kg_pipeline(
         nodes.write_parquet(nodes_dir)
         n = rd.read_parquet(nodes_dir).count()
         manifest.mark_done("nodes", n, wall_sec=time.time() - t0)
+        _checkpoint_gate()
 
     # ---- phase 3: edges ----------------------------------------------------
     edges_dir = os.path.join(out_dir, "edges")
@@ -129,6 +140,7 @@ def run_kg_pipeline(
         edges.write_parquet(edges_dir)
         n = rd.read_parquet(edges_dir).count()
         manifest.mark_done("edges", n, wall_sec=time.time() - t0)
+        _checkpoint_gate()
 
     # ---- phase 4: canonicalization ----------------------------------------
     canon_dir = os.path.join(out_dir, "canonical")
@@ -150,6 +162,7 @@ def run_kg_pipeline(
         ecanon.write_parquet(ecanon_dir)
         n = rd.read_parquet(ecanon_dir).count()
         manifest.mark_done("canonical", n, wall_sec=time.time() - t0)
+        _checkpoint_gate()
 
     return {
         "out_dir": out_dir,

@@ -46,7 +46,7 @@ class Embedder:
         return out
 
 
-def embed_ds(ds, text_col: str, concurrency: int = 4, batch_size: int = 512):
+def embed_ds(ds, text_col: str, concurrency=(1, 4), batch_size: int = 512):
     return ds.map_batches(
         Embedder,
         fn_constructor_args=(text_col,),

@@ -66,7 +66,7 @@ class MediaFeatureExtractor:
         )
 
 
-def media_features_ds(pages, concurrency: int = 4, batch_size: int = 32):
+def media_features_ds(pages, concurrency=(1, 4), batch_size: int = 32):
     return pages.map_batches(
         MediaFeatureExtractor,
         batch_format="pandas",

@@ -83,7 +83,7 @@ class GazetteerNER:
         return df
 
 
-def mentions_ds(extracted, gazetteer: tuple[list[str], list[str]], concurrency: int = 4):
+def mentions_ds(extracted, gazetteer: tuple[list[str], list[str]], concurrency=(1, 4)):
     """extracted(url, text_out) → mentions via the GazetteerNER actor pool."""
     import ray
 

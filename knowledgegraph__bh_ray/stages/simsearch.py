@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-N_PLANES = 8  # 2^8 = 256 LSH buckets
+N_PLANES = 6  # 2^6 = 64 LSH buckets
 _rng = np.random.default_rng(7)
 
 
@@ -91,7 +91,14 @@ def lsh_topk_ds(ds, queries: dict[int, np.ndarray], id_col: str, vec_col: str, k
     qbuckets = (qbits * (1 << np.arange(N_PLANES))).sum(axis=1).astype("int64")
     probe_sets = []
     for b in qbuckets:
+        # multi-probe: the query's bucket plus all Hamming-1 and Hamming-2
+        # neighbors — recall/cost knob (1 + P + P(P-1)/2 buckets of 2^P)
         probes = {int(b)} | {int(b) ^ (1 << i) for i in range(N_PLANES)}
+        probes |= {
+            int(b) ^ (1 << i) ^ (1 << j)
+            for i in range(N_PLANES)
+            for j in range(i + 1, N_PLANES)
+        }
         probe_sets.append(probes)
     Qn = _normalize(Q)
     q_ref = ray.put((qids, Qn, probe_sets))

@@ -1,0 +1,80 @@
+"""Near-dup suite: approximate paths verified against brute-force truth on
+the synthetic corpus (dup-content pages have word-identical bodies)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from knowledgegraph__bh_ray.pipelines import kg
+from knowledgegraph__bh_ray.stages import dedup
+
+
+def _dup_truth(pages_small):
+    """Brute-force exact duplicate text pairs (same text_out)."""
+    ext = kg.extracted_ds(pages_small).to_pandas()
+    pairs = set()
+    by_text = ext.groupby("text_out")["url"].apply(list)
+    for urls in by_text:
+        urls = sorted(urls)
+        for i in range(len(urls)):
+            for j in range(i + 1, len(urls)):
+                pairs.add((urls[i], urls[j]))
+    return ext, pairs
+
+
+def test_minhash_finds_exact_dup_pages(ray_session, pages_small):
+    ext, truth = _dup_truth(pages_small)
+    assert truth, "generator must produce dup-content pages"
+    ds = rd.from_pandas(ext[["url", "text_out"]])
+    found = dedup.minhash_pairs_ds(ds, "url", "text_out", threshold=0.9).to_pandas()
+    found_pairs = set(zip(found["id_a"], found["id_b"]))
+    # identical text ⇒ identical signature ⇒ every true dup pair is found
+    assert truth <= found_pairs
+    # and est_jaccard for those pairs is 1.0
+    exact = found.set_index(["id_a", "id_b"]).loc[sorted(truth)]["est_jaccard"]
+    assert (exact == 1.0).all()
+
+
+def test_simhash_finds_exact_dup_pages(ray_session, pages_small):
+    ext, truth = _dup_truth(pages_small)
+    ds = rd.from_pandas(ext[["url", "text_out"]])
+    found = dedup.simhash_pairs_ds(ds, "url", "text_out", max_hamming=0).to_pandas()
+    found_pairs = set(zip(found["id_a"], found["id_b"]))
+    assert truth <= found_pairs
+    assert (found.set_index(["id_a", "id_b"]).loc[sorted(truth)]["hamming"] == 0).all()
+
+
+def test_minhash_estimates_jaccard(ray_session):
+    """Signature-estimated Jaccard tracks true Jaccard on overlapping docs."""
+    base = [f"w{i}" for i in range(100)]
+    texts = {
+        "a": " ".join(base),
+        "b": " ".join(base[:80] + [f"x{i}" for i in range(20)]),  # high overlap
+        "c": " ".join(f"z{i}" for i in range(100)),  # disjoint
+    }
+    df = pd.DataFrame({"doc": list(texts), "text": list(texts.values())})
+    ds = rd.from_pandas(df)
+    found = dedup.minhash_pairs_ds(ds, "doc", "text", threshold=0.3).to_pandas()
+    pairs = set(zip(found["id_a"], found["id_b"]))
+    assert ("a", "b") in pairs
+    assert ("a", "c") not in pairs and ("b", "c") not in pairs
+
+
+def test_embedding_pairs_match_bruteforce(ray_session):
+    sf = "/root/testdata/sf0.001"
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    ds = rd.from_pandas(emb)
+    got = dedup.embedding_pairs_ds(ds, "label", "vec_id", "embedding", 0.3).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    want = set()
+    for _, g in emb.groupby("label"):
+        M = np.vstack(g["embedding"].values).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = M @ M.T
+        ids = g["vec_id"].values
+        iu, ju = np.triu_indices(len(ids), 1)
+        for i, j in zip(iu[S[iu, ju] >= 0.3], ju[S[iu, ju] >= 0.3]):
+            want.add((int(ids[i]), int(ids[j])))
+    assert got_pairs == want

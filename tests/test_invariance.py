@@ -1,0 +1,74 @@
+"""Property tests: results are independent of partitioning / batch size /
+parallelism — the guarantee that makes the salted aggregation correct and
+resume ≡ fresh run possible (SURVEY.md §5(c))."""
+
+import pandas as pd
+
+from knowledgegraph__bh_ray.pipelines import kg
+from knowledgegraph__bh_ray.sources import read_pages
+from knowledgegraph__bh_ray.stages.extract import extract_parse_batch
+from knowledgegraph__bh_ray.stages.grouped import (
+    count_first_combine,
+    count_first_partial,
+    salted_grouped_agg,
+)
+
+
+def _edges_with(pages_path, batch_size, salt_buckets, num_blocks):
+    pages = read_pages(pages_path, columns=["url", "html"])
+    if num_blocks:
+        pages = pages.repartition(num_blocks)
+    parsed = pages.map_batches(
+        extract_parse_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    return (
+        kg.edges_ds(parsed, node_ids=None, salt_buckets=salt_buckets)
+        .to_pandas()[["subj", "pred", "obj", "weight"]]
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+
+
+def test_edges_invariant_to_partitioning(ray_session, pages_small):
+    base = _edges_with(pages_small, batch_size=256, salt_buckets=16, num_blocks=None)
+    small_batches = _edges_with(pages_small, batch_size=17, salt_buckets=3, num_blocks=7)
+    pd.testing.assert_frame_equal(base, small_batches)
+
+
+def test_salted_agg_equals_pandas_groupby(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 500).astype(str),
+            "seq": [f"{i:05d}" for i in rng.permutation(500)],
+            "url": [f"u{i % 37}" for i in range(500)],
+            "v": rng.integers(0, 100, 500),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(11)
+    out = (
+        salted_grouped_agg(
+            ds,
+            keys=["k"],
+            partial_fn=count_first_partial(["k"], "seq"),
+            combine_fn=count_first_combine(["k"], "seq"),
+            salt_from="url",
+            salt_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp_first = df.sort_values("seq", kind="mergesort").drop_duplicates("k", keep="first")
+    exp = (
+        exp_first.merge(df.groupby("k").size().rename("weight").reset_index(), on="k")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["k", "seq", "v", "weight"]],
+        exp[["k", "seq", "v", "weight"]].astype({"weight": out["weight"].dtype}),
+    )

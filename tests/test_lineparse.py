@@ -1,0 +1,102 @@
+"""Unit tests for the markdown-grammar line parser — hand-written expected
+outputs pin the reference rules (md2csv.py:24-105) including the quirks; this
+is the independent check for the shared rule spec (see oracle.py docstring).
+"""
+
+from knowledgegraph__bh_ray.functions.hashing import md5_id
+from knowledgegraph__bh_ray.functions.lineparse import parse_doc_lines
+
+
+def test_concept_basic_and_parent():
+    out = parse_doc_lines(
+        [
+            "## 【核心概念】",
+            "- 机器学习 @概念",
+            "-- 监督学习 @类别",
+            "- 深度学习 @概念",
+        ]
+    )
+    ml, sup, dl = md5_id("机器学习"), md5_id("监督学习"), md5_id("深度学习")
+    assert set(out.concepts) == {ml, sup, dl}
+    assert out.concepts[ml]["parent"] == ""
+    # indent-2 child attaches to the current indent-1 concept
+    assert out.concepts[sup]["parent"] == ml
+    # indent-2 does NOT update the cursor; next indent-1 is top-level again
+    assert out.concepts[dl]["parent"] == ml  # cursor was still 机器学习
+
+
+def test_section_header_resets_cursor():
+    out = parse_doc_lines(["- A @概念", "## 【核心概念】", "- B @概念"])
+    assert out.concepts[md5_id("B")]["parent"] == ""
+
+
+def test_concept_props_on_same_line_merge_into_itself():
+    out = parse_doc_lines(["- A @概念 权重=0.8"])
+    assert out.concepts[md5_id("A")]["props"] == {"权重": "0.8"}
+
+
+def test_props_line_goes_to_current_concept():
+    out = parse_doc_lines(["- A @概念", '描述="demo" 级别=3'])
+    assert out.concepts[md5_id("A")]["props"] == {"描述": "demo", "级别": "3"}
+
+
+def test_nested_concept_props_go_to_parent_cursor():
+    # indent-2 concept does not take the cursor, so its same-line k=v lands
+    # on the indent-1 parent (reference behavior, md2csv.py:46-57 + 95-105)
+    out = parse_doc_lines(["- P @概念", "-- C @类别 来源=x"])
+    assert out.concepts[md5_id("P")]["props"] == {"来源": "x"}
+    assert out.concepts[md5_id("C")]["props"] == {}
+
+
+def test_relation_forms():
+    out = parse_doc_lines(
+        [
+            "- A --> B : 包含",
+            "- A --> C : 类型=属于",
+            "-- D --> E : 相关 强度=0.9",
+        ]
+    )
+    rels = [(r["subj_name"], r["obj_name"], r["pred"]) for r in out.relations]
+    assert rels == [("A", "B", "包含"), ("A", "C", "属于"), ("D", "E", "相关")]
+    assert out.relations[2]["props"] == {"强度": "0.9"}
+    assert out.relations[0]["subj"] == md5_id("A")
+
+
+def test_relation_duplicates_preserved():
+    out = parse_doc_lines(["- A --> B : 包含", "- A --> B : 包含"])
+    assert len(out.relations) == 2  # md2csv.py:93 appends, no dedup
+
+
+def test_quoted_prop_without_space_unquoted():
+    out = parse_doc_lines(['- A --> B : 相关 描述="compact"'])
+    assert out.relations[0]["props"] == {"描述": "compact"}
+
+
+def test_quoted_prop_with_space_is_mangled_like_reference():
+    # the reference regex tries the unquoted branch first, so a quoted value
+    # containing a space captures only up to the space, quote included
+    out = parse_doc_lines(['- A --> B : 相关 描述="有 空格"'])
+    assert out.relations[0]["props"]["描述"] == '"有'
+
+
+def test_relation_line_props_leak_into_current_concept():
+    # any '=' line feeds the current concept's props — including relation
+    # lines (three independent if-blocks in the reference parse_line)
+    out = parse_doc_lines(["- X @概念", "- A --> B : 相关 强度=0.7"])
+    assert out.concepts[md5_id("X")]["props"] == {"强度": "0.7"}
+
+
+def test_same_name_same_id_last_wins():
+    out = parse_doc_lines(["- A @概念", "- A @类别"])
+    assert len(out.concepts) == 1
+    assert out.concepts[md5_id("A")]["type"] == "类别"
+
+
+def test_md5_id_matches_duckdb():
+    import duckdb
+
+    for name in ("机器学习", "Entity0", "实体5"):
+        (sql_id,) = duckdb.sql(
+            "SELECT substr(md5(?), 1, 8)", params=[name]
+        ).fetchone()
+        assert sql_id == md5_id(name)

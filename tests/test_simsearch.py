@@ -1,0 +1,52 @@
+import numpy as np
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from knowledgegraph__bh_ray.stages import simsearch
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_truth(emb, queries, k=10):
+    M = np.vstack(emb["embedding"].values).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    out = {}
+    for qid, q in queries.items():
+        qn = q / np.linalg.norm(q)
+        sims = M @ qn
+        order = np.lexsort((emb["vec_id"].values, -sims))
+        out[qid] = [int(emb["vec_id"].values[i]) for i in order[:k]]
+    return out
+
+
+def _queries(emb, ids=(0, 1, 2)):
+    return {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for _, r in emb.iterrows()
+        if r["vec_id"] in ids
+    }
+
+
+def test_brute_topk_matches_numpy(ray_session):
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    queries = _queries(emb)
+    ds = rd.from_pandas(emb[["vec_id", "embedding"]]).repartition(5)
+    got = simsearch.brute_topk_ds(ds, queries, "vec_id", "embedding", k=10).to_pandas()
+    truth = _brute_truth(emb, queries)
+    for qid in queries:
+        g = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert g == truth[qid]
+
+
+def test_lsh_topk_recall(ray_session):
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    queries = _queries(emb)
+    ds = rd.from_pandas(emb[["vec_id", "embedding"]]).repartition(5)
+    got = simsearch.lsh_topk_ds(ds, queries, "vec_id", "embedding", k=10).to_pandas()
+    truth = _brute_truth(emb, queries)
+    for qid in queries:
+        g = set(got[got["query_id"] == qid]["vec_id"])
+        # the query vector itself lives in its own bucket → always recalled
+        assert qid in g
+        recall = len(g & set(truth[qid])) / 10
+        assert recall >= 0.3  # approximate path: bounded quality, not exact
