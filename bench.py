@@ -1,0 +1,179 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: the full KG construction pipeline (extract+parse → nodes → edges →
+canonical linking, all outputs written as partitioned Parquet) over the
+synthesized Common-Crawl-style pages table at $GRAFT_SF_DIR (default
+/root/testdata/sf0.1), amplified ×$GRAFT_REPLICAS (default 10 → ~50k pages
+at sf0.1).  Secondary timings cover the other operator families.
+
+  python bench.py             # one run at RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling   # fresh processes at 8 and 32 CPUs → efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "10"))
+# --scaling amplifies the corpus further so compute dominates the fixed
+# per-job costs and the 8→32-CPU comparison measures the pipeline, not
+# scheduler overhead (both levels use the same input)
+SCALING_REPLICAS = int(os.environ.get("GRAFT_SCALING_REPLICAS", "40"))
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from knowledgegraph__bh_ray.pagegen import ensure_pages
+    from knowledgegraph__bh_ray.pipelines import kg, relational, textops
+    from knowledgegraph__bh_ray.pipelines.run import run_kg_pipeline
+    from knowledgegraph__bh_ray.sources import read_table
+    from knowledgegraph__bh_ray.stages import dedup, simsearch
+
+    pages = ensure_pages(SF_DIR, replicas=REPLICAS)
+
+    # warm the OS page cache (untimed) so we measure compute+shuffle, not
+    # first-touch disk reads
+    import pyarrow.parquet as pq
+
+    n_pages = 0
+    for f in sorted(os.listdir(pages)):
+        if f.endswith(".parquet"):
+            fp = os.path.join(pages, f)
+            pq.read_table(fp)  # warm page cache
+            n_pages += pq.read_metadata(fp).num_rows
+
+    # pre-warm the worker pool (process spawn + imports) with one untimed
+    # micro-job so the timed section measures compute + shuffle, not cluster
+    # cold start — a production cluster is warm
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 4).map_batches(lambda b: b).count()
+
+    queries: dict[str, float] = {}
+
+    out_dir = "/tmp/kgbh_bench_run"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    result = run_kg_pipeline(pages, out_dir, num_shards=max(8, NUM_CPUS))
+    headline = time.time() - t0
+    queries["kg_pipeline"] = round(headline, 3)
+
+    triples_raw = sum(
+        r["counters"].get("pages_in", 0) and 0 for r in result["records"]
+    )  # placeholder; real count below
+    import ray.data as rd
+
+    n_edges = rd.read_parquet(os.path.join(out_dir, "edges")).count()
+    n_triples = int(
+        rd.read_parquet(os.path.join(out_dir, "edges"), columns=["weight"])
+        .to_pandas()["weight"]
+        .sum()
+    )
+
+    def timed(name, fn):
+        t = time.time()
+        fn()
+        queries[name] = round(time.time() - t, 3)
+
+    timed("kg_extract", lambda: kg.extracted_ds(pages).count())
+    timed(
+        "dedup_minhash",
+        lambda: dedup.minhash_pairs_ds(
+            kg.extracted_ds(pages).select_columns(["url", "text_out"]),
+            "url",
+            "text_out",
+            threshold=0.8,
+        ).count(),
+    )
+    timed("agg_lineitem", lambda: relational.agg_lineitem_ds(SF_DIR).count())
+    timed("events_sessionize", lambda: relational.events_sessionize_ds(SF_DIR).count())
+    timed("token_count", lambda: textops.token_count_by_lang_ds(SF_DIR).count())
+
+    def _simsearch():
+        import numpy as np
+
+        emb = read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"])
+        t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+        qv = {
+            int(v): np.array(e, dtype=np.float64)
+            for v, e in zip(t.column("vec_id").to_pylist()[:3], t.column("embedding").to_pylist()[:3])
+        }
+        simsearch.brute_topk_ds(emb, qv, "vec_id", "embedding", k=10).count()
+
+    timed("simsearch_topk", _simsearch)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": int(n_pages),
+        "replicas": REPLICAS,
+        "edges": int(n_edges),
+        "triples_deduped_from": int(n_triples),
+        "pages_per_sec": round(n_pages / headline, 1),
+        "triples_per_sec": round(n_triples / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_REPLICAS=str(SCALING_REPLICAS),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run_at(lo), run_at(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling",
+        "cpus": [lo, hi],
+        "sec": [t_lo, t_hi],
+        "pages_per_sec": [r_lo["pages_per_sec"], r_hi["pages_per_sec"]],
+        "triples_per_sec": [r_lo["triples_per_sec"], r_hi["triples_per_sec"]],
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -229,33 +229,28 @@ def _render_html(
     return "\n".join(parts)
 
 
-def generate_pages_table(documents_path: str, replicas: int = 1) -> pa.Table:
-    """documents.parquet → deterministic pages table.
+def generate_pages_range(
+    base_texts: list[str],
+    base_langs: list[str],
+    vstart: int,
+    vend: int,
+    n_docs: int,
+) -> pa.Table:
+    """Generate virtual pages [vstart, vend) of an amplified corpus.
 
-    ``replicas`` > 1 amplifies the corpus for benchmarking: replica r of doc
-    d becomes virtual doc id ``d + r * n_docs`` with its own seeded content
-    (different grammar lines over the same text words) — deterministic, no
-    external data, and replicas=1 reproduces the unamplified table exactly."""
-    docs = pq.read_table(documents_path, columns=["doc_id", "text", "lang"])
-    base_ids = docs.column("doc_id").to_pylist()
-    base_texts = docs.column("text").to_pylist()
-    base_langs = docs.column("lang").to_pylist()
-    n_base = len(base_ids)
-    doc_ids, texts, langs = [], [], []
-    for r in range(replicas):
-        doc_ids.extend(d + r * n_base for d in base_ids)
-        texts.extend(base_texts)
-        langs.extend(base_langs)
-    n_docs = len(doc_ids)
+    Virtual doc ``i`` reuses base doc ``i % n_base``'s text; everything else
+    is a pure function of ``i`` (seeded rng), so ranges generate
+    independently — the parallel path shards on this."""
+    n_base = len(base_texts)
     ent_names, ent_types = entity_pool(n_docs)
-
     base_ts = np.datetime64("2025-01-01T00:00:00", "us")
     urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
 
-    for i, doc_id in enumerate(doc_ids):
+    for i in range(vstart, vend):
+        doc_id = i
         urls.append(doc_url(doc_id))
         tss.append(base_ts + np.timedelta64(doc_id, "s"))
-        out_langs.append(langs[i])
+        out_langs.append(base_langs[i % n_base])
 
         if doc_id % 97 == 13:  # anti-bot verification page
             htmls.append(VERIFICATION_HTML.encode("utf-8"))
@@ -264,12 +259,12 @@ def generate_pages_table(documents_path: str, replicas: int = 1) -> pa.Table:
 
         # duplicate-content pages reuse the previous doc's body (dedup bait)
         content_id = doc_id - 1 if (doc_id % 11 == 3 and i > 0) else doc_id
-        content_idx = i - 1 if content_id != doc_id else i
-        words = (texts[content_idx] or "").split()
+        text = base_texts[content_id % n_base] or ""
+        words = text.split()
         rng = np.random.default_rng(content_id + 1_000_003)
 
         title = f"词条{content_id}"
-        summary = (texts[content_idx] or "")[:80].strip()
+        summary = text[:80].strip()
         paras = _build_paragraphs(rng, content_id, words, ent_names, ent_types)
         html = _render_html(rng, content_id, title, summary, paras, words, n_docs)
         htmls.append(html.encode("utf-8"))
@@ -291,27 +286,97 @@ def generate_pages_table(documents_path: str, replicas: int = 1) -> pa.Table:
     )
 
 
+def _load_base(documents_path: str) -> tuple[list[str], list[str]]:
+    docs = pq.read_table(documents_path, columns=["doc_id", "text", "lang"])
+    ids = docs.column("doc_id").to_pylist()
+    assert ids == list(range(len(ids))), "documents.doc_id must be 0..n-1"
+    return docs.column("text").to_pylist(), docs.column("lang").to_pylist()
+
+
+def generate_pages_table(documents_path: str, replicas: int = 1) -> pa.Table:
+    """documents.parquet → deterministic pages table.
+
+    ``replicas`` > 1 amplifies the corpus for benchmarking: virtual doc
+    ``i`` (0 ≤ i < replicas·n_base) reuses base text ``i % n_base`` with its
+    own seeded grammar content — deterministic, no external data."""
+    texts, langs = _load_base(documents_path)
+    n_docs = len(texts) * replicas
+    return generate_pages_range(texts, langs, 0, n_docs, n_docs)
+
+
+ROWS_PER_FILE = 2048
+
+
 def pages_path(sf_dir: str, root: str = PAGES_ROOT, replicas: int = 1) -> str:
+    """Directory of parquet shard files — one ray read task per file, so the
+    extract stage parallelizes (a single parquet file is read by ONE task
+    regardless of row groups)."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     if replicas > 1:
         sf_name = f"{sf_name}_x{replicas}"
-    return os.path.join(root, sf_name, "pages.parquet")
+    return os.path.join(root, sf_name, "pages")
 
 
 def ensure_pages(sf_dir: str, root: str = PAGES_ROOT, replicas: int = 1) -> str:
-    """Generate (once, atomically) the pages table for an sf dir; return its
-    path.  Deterministic → concurrent/repeated generation is idempotent."""
+    """Generate (once, atomically) the pages table for an sf dir; return the
+    shard-directory path.  Deterministic → idempotent; the directory is
+    renamed into place only when complete."""
     out = pages_path(sf_dir, root, replicas)
-    if os.path.exists(out):
+    if os.path.isdir(out):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    table = generate_pages_table(os.path.join(sf_dir, "documents.parquet"), replicas)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out), suffix=".parquet.tmp")
-    os.close(fd)
+    documents_path = os.path.join(sf_dir, "documents.parquet")
+    texts, langs = _load_base(documents_path)
+    n_docs = len(texts) * replicas
+
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(out), prefix=".pages.tmp.")
     try:
-        pq.write_table(table, tmp)
-        os.replace(tmp, out)  # atomic; loser of a race just overwrites equal bytes
+        _write_shards(documents_path, texts, langs, n_docs, tmp)
+        try:
+            os.rename(tmp, out)  # atomic publish
+        except OSError:
+            pass  # lost the race — equal bytes already published
     finally:
-        if os.path.exists(tmp):
-            os.remove(tmp)
+        if os.path.isdir(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
     return out
+
+
+def _write_shards(documents_path, texts, langs, n_docs, tmp):
+    """Write part files; generation is range-parallel via Ray when a session
+    exists and the corpus is large (each task generates+writes its shard —
+    ranges are independent by construction)."""
+    ranges = [
+        (i, start, min(start + ROWS_PER_FILE, n_docs))
+        for i, start in enumerate(range(0, n_docs, ROWS_PER_FILE))
+    ]
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and n_docs >= 50_000
+    except ImportError:
+        pass
+
+    if not use_ray:
+        for i, s, e in ranges:
+            pq.write_table(
+                generate_pages_range(texts, langs, s, e, n_docs),
+                os.path.join(tmp, f"part-{i:05d}.parquet"),
+            )
+        return
+
+    import ray
+
+    texts_ref = ray.put(texts)
+    langs_ref = ray.put(langs)
+
+    @ray.remote
+    def _gen(i, s, e, texts_ref, langs_ref):
+        t = generate_pages_range(ray.get(texts_ref), ray.get(langs_ref), s, e, n_docs)
+        pq.write_table(t, os.path.join(tmp, f"part-{i:05d}.parquet"))
+        return t.num_rows
+
+    ray.get([_gen.remote(i, s, e, texts_ref, langs_ref) for i, s, e in ranges])

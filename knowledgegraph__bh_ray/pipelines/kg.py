@@ -24,10 +24,8 @@ import pyarrow as pa
 from ..sources import read_pages
 from ..stages.extract import extract_parse_batch, extract_text_batch, flatten_list_column
 from ..stages.grouped import (
-    count_first_combine,
-    count_first_partial,
-    keep_first_combine,
-    keep_first_partial,
+    count_first_block,
+    keep_first_block,
     salted_grouped_agg,
 )
 from ..stages.linkage import CanonicalizeTriples, canonical_map_ds
@@ -87,8 +85,7 @@ def nodes_ds(source, salt_buckets: int = 16):
     return salted_grouped_agg(
         nodes_raw_ds(source),
         keys=["id"],
-        partial_fn=keep_first_partial(["id"], "seq"),
-        combine_fn=keep_first_combine(["id"], "seq"),
+        block_agg=keep_first_block(["id"], "seq"),
         salt_from="url",
         salt_buckets=salt_buckets,
     )
@@ -101,7 +98,7 @@ def _node_id_set(source) -> frozenset:
     canonical broadcast-semi-join case (SURVEY.md §2.5 J1).  If the
     vocabulary ever outgrew memory the fallback is a hash-bucketed join on
     id — not needed at this corpus/vocab ratio."""
-    ids = nodes_raw_ds(source).select_columns(["id"]).unique("id")
+    ids = nodes_raw_ds(source).select_columns(["id"]).to_pandas()["id"]
     return frozenset(ids)
 
 
@@ -126,8 +123,7 @@ def edges_ds(source, node_ids: frozenset | None = None, salt_buckets: int = 16):
     return salted_grouped_agg(
         kept,
         keys=["subj", "pred", "obj"],
-        partial_fn=count_first_partial(["subj", "pred", "obj"], "seq"),
-        combine_fn=count_first_combine(["subj", "pred", "obj"], "seq"),
+        block_agg=count_first_block(["subj", "pred", "obj"], "seq"),
         salt_from="url",
         salt_buckets=salt_buckets,
     )
@@ -139,7 +135,7 @@ def canonical_nodes_ds(source, salt_buckets: int = 16):
     return canonical_map_ds(nodes_raw_ds(source), salt_buckets=salt_buckets)
 
 
-def edges_canonical_ds(source, canon_map: dict | None = None, concurrency=(1, 4)):
+def edges_canonical_ds(source, canon_map: dict | None = None, concurrency=(2, 16)):
     """Canonicalized, deduplicated edge table: endpoints rewritten to
     canonical ids via the broadcast canonical map (actor pool — map fetched
     once per actor), unknown blocking keys dropped, then the same salted
@@ -163,8 +159,7 @@ def edges_canonical_ds(source, canon_map: dict | None = None, concurrency=(1, 4)
     return salted_grouped_agg(
         linked,
         keys=["subj", "pred", "obj"],
-        partial_fn=count_first_partial(["subj", "pred", "obj"], "seq"),
-        combine_fn=count_first_combine(["subj", "pred", "obj"], "seq"),
+        block_agg=count_first_block(["subj", "pred", "obj"], "seq"),
         salt_from="url",
         salt_buckets=16,
     )

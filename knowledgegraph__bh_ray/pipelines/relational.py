@@ -24,55 +24,47 @@ from ..sources import read_table
 def agg_lineitem_ds(sf_dir: str):
     """Pricing-summary aggregate (TPC-H Q1 shape): per (returnflag,
     linestatus) — integer quantities/cents, exact across partitionings."""
+    from ..stages.grouped import hash_partitioned_agg
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        b = pd.DataFrame(
+    KEYS = ["l_returnflag", "l_linestatus"]
+    SUMS = ["sum_qty", "sum_price_cents", "sum_disc_price_cents", "n_rows"]
+
+    def _to_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "qty": np.floor(batch["l_quantity"]).astype("int64"),
-                "price_cents": np.floor(batch["l_extendedprice"] * 100).astype("int64"),
-                "disc_price_cents": np.floor(
+                "sum_qty": np.floor(batch["l_quantity"]).astype("int64"),
+                "sum_price_cents": np.floor(batch["l_extendedprice"] * 100).astype("int64"),
+                "sum_disc_price_cents": np.floor(
                     batch["l_extendedprice"] * (1.0 - batch["l_discount"]) * 100
                 ).astype("int64"),
+                "n_rows": np.int64(1),
             }
         )
-        g = b.groupby(["l_returnflag", "l_linestatus"], sort=False)
-        out = g.agg(
-            sum_qty=("qty", "sum"),
-            sum_price_cents=("price_cents", "sum"),
-            sum_disc_price_cents=("disc_price_cents", "sum"),
-            n_rows=("qty", "size"),
-        ).reset_index()
-        out["n_rows"] = out["n_rows"].astype("int64")
-        return out
 
-    def _combine(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.head(1)[["l_returnflag", "l_linestatus"]].copy()
-        for c in ("sum_qty", "sum_price_cents", "sum_disc_price_cents", "n_rows"):
-            out[c] = group[c].sum()
-        return out.reset_index(drop=True)
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(KEYS, sort=False, as_index=False)[SUMS].sum()
 
     li = read_table(
         sf_dir,
         "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
-    return (
-        li.map_batches(_partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .map_groups(_combine, batch_format="pandas")
-    )
+    rows = li.map_batches(_to_rows, batch_format="pandas")
+    return hash_partitioned_agg(rows, KEYS, _agg, num_parts=4)
 
 
 def join_volume_ds(sf_dir: str):
     """Revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
 
     orders/customer/nation are the small sides → broadcast once via
-    ``ray.put`` (a composed suppkey/custkey → nation map), probed inside
+    ``ray.put`` (a composed orderkey → nation map), probed inside
     ``map_batches`` — no shuffle join on the big fact table (Ray guide
     "small side: broadcast it")."""
     import ray
+
+    from ..stages.grouped import hash_partitioned_agg
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
@@ -84,36 +76,23 @@ def join_volume_ds(sf_dir: str):
     )
     lookup_ref = ray.put(dict(zip(ok2nation["o_orderkey"], ok2nation["n_name"])))
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def _to_rows(batch: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(lookup_ref)
         n_name = batch["l_orderkey"].map(lookup)
         cents = np.floor(
             batch["l_extendedprice"] * (1.0 - batch["l_discount"]) * 100
         ).astype("int64")
-        b = pd.DataFrame({"n_name": n_name, "revenue_cents": cents})
-        b = b[b["n_name"].notna()]
-        g = b.groupby("n_name", sort=False)["revenue_cents"]
-        return pd.DataFrame(
-            {
-                "n_name": g.sum().index,
-                "revenue_cents": g.sum().values,
-                "n_items": g.size().values.astype("int64"),
-            }
-        )
+        b = pd.DataFrame({"n_name": n_name, "revenue_cents": cents, "n_items": np.int64(1)})
+        return b[b["n_name"].notna()].reset_index(drop=True)
 
-    def _combine(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "n_name": [group["n_name"].iloc[0]],
-                "revenue_cents": [group["revenue_cents"].sum()],
-                "n_items": [group["n_items"].sum()],
-            }
-        )
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_name", sort=False, as_index=False)[
+            ["revenue_cents", "n_items"]
+        ].sum()
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    return li.map_batches(_partial, batch_format="pandas").groupby("n_name").map_groups(
-        _combine, batch_format="pandas"
-    )
+    rows = li.map_batches(_to_rows, batch_format="pandas")
+    return hash_partitioned_agg(rows, ["n_name"], _agg, num_parts=4)
 
 
 def top_parts_ds(sf_dir: str, k: int = 10):
@@ -128,61 +107,76 @@ def events_window_ds(sf_dir: str):
     """Tumbling 1-hour window per event_type: n events + floored value cents.
     Window key = floor(epoch_seconds / 3600) — computable per batch, so the
     only shuffle is the tiny post-partial groupby."""
+    from ..stages.grouped import hash_partitioned_agg
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+    KEYS = ["event_type", "hour_bucket"]
+
+    def _to_rows(batch: pd.DataFrame) -> pd.DataFrame:
         secs = batch["ts"].astype("datetime64[us]").astype("int64") / 1_000_000.0
-        hour = np.floor(secs / 3600.0).astype("int64")
-        cents = np.floor(batch["value"] * 100).astype("int64")
-        b = pd.DataFrame({"event_type": batch["event_type"], "hour_bucket": hour, "cents": cents})
-        g = b.groupby(["event_type", "hour_bucket"], sort=False)["cents"]
         return pd.DataFrame(
             {
-                "event_type": [i[0] for i in g.sum().index],
-                "hour_bucket": [i[1] for i in g.sum().index],
-                "sum_value_cents": g.sum().values,
-                "n_events": g.size().values.astype("int64"),
+                "event_type": batch["event_type"],
+                "hour_bucket": np.floor(secs / 3600.0).astype("int64"),
+                "sum_value_cents": np.floor(batch["value"] * 100).astype("int64"),
+                "n_events": np.int64(1),
             }
         )
 
-    def _combine(group: pd.DataFrame) -> pd.DataFrame:
-        out = group.head(1)[["event_type", "hour_bucket"]].copy()
-        out["sum_value_cents"] = group["sum_value_cents"].sum()
-        out["n_events"] = group["n_events"].sum()
-        return out.reset_index(drop=True)
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(KEYS, sort=False, as_index=False)[
+            ["sum_value_cents", "n_events"]
+        ].sum()
 
     ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
-    return (
-        ev.map_batches(_partial, batch_format="pandas")
-        .groupby(["event_type", "hour_bucket"])
-        .map_groups(_combine, batch_format="pandas")
-    )
+    rows = ev.map_batches(_to_rows, batch_format="pandas")
+    return hash_partitioned_agg(rows, KEYS, _agg)
 
 
 def events_sessionize_ds(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization per user (session = events ≤ gap apart).
 
-    The partitioning assumption (documented per the task brief): all of one
-    user's events co-locate via ``groupby(user_id)``; within the group the
-    pandas fn sorts by ts and splits on gaps — the Ray-guide pattern for
-    stream-shaped workloads."""
-    gap_us = gap_minutes * 60 * 1_000_000
+    Partitioning assumption (documented per the task brief): all of one
+    user's events co-locate — rows are hash-partitioned by user_id, and the
+    per-partition function sessionizes *all* its users fully vectorized
+    (sort by (user, ts); session breaks = user change OR gap; cumsum ids;
+    one groupby-agg) — no per-user Python."""
+    from ..stages.grouped import PART_COL, _key_hash
 
-    def _sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].astype("datetime64[us]").astype("int64")
-        new_session = np.ones(len(g), dtype=bool)
-        new_session[1:] = (ts.values[1:] - ts.values[:-1]) > gap_us
-        sid = np.cumsum(new_session)
-        out = pd.DataFrame({"user_id": g["user_id"].values, "sid": sid, "ts_us": ts.values})
-        agg = out.groupby("sid")["ts_us"]
-        return pd.DataFrame(
+    gap_us = gap_minutes * 60 * 1_000_000
+    num_parts = 16
+
+    def _route(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]] * agg.ngroups,
-                "session_start_us": agg.min().values,
-                "session_end_us": agg.max().values,
-                "n_events": agg.size().values.astype("int64"),
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].astype("datetime64[us]").astype("int64"),
             }
         )
+        out[PART_COL] = (_key_hash(out, ["user_id"]) % num_parts).astype("int64")
+        return out
+
+    def _sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        sid = np.cumsum(brk)
+        df = pd.DataFrame({"user_id": uid, "sid": sid, "ts_us": ts})
+        agg = df.groupby(["user_id", "sid"], sort=False).agg(
+            session_start_us=("ts_us", "min"),
+            session_end_us=("ts_us", "max"),
+            n_events=("ts_us", "size"),
+        ).reset_index().drop(columns=["sid"])
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg
 
     ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-    return ev.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    routed = ev.map_batches(_route, batch_format="pandas")
+    return (
+        routed.repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_sessions, batch_format="pandas")
+    )

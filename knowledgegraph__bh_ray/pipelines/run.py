@@ -31,6 +31,25 @@ from ..state.lineage import CounterActor, Manifest
 from . import kg
 
 
+def _dir_rows(d: str) -> int:
+    """Row count of a parquet dir from file footers — no data read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
+def _read_small(d: str, columns=None) -> "pd.DataFrame":
+    """Driver-side read of a small output table via pyarrow (no Ray job)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(d, columns=columns).to_pandas()
+
+
 def _add_shard(batch: pa.Table, num_shards: int) -> pa.Table:
     shards = pa.array(
         [bucket_of(u, num_shards) for u in batch.column("url").to_pylist()], pa.int32()
@@ -65,7 +84,10 @@ def run_kg_pipeline(
         if _fail_after_units is not None and completed_now >= _fail_after_units:
             raise RuntimeError(f"injected failure after {completed_now} units")
 
-    # ---- phase 1: extract+parse → parsed/shard=K ---------------------------
+    # ---- phase 1: extract+parse → parsed/group=G --------------------------
+    # resume unit = one group of url-hash shards; each group writes its own
+    # subdirectory (plain files — one per block, no per-shard partition-dir
+    # file explosion; the shard column stays in the data for lineage)
     groups = [
         list(range(g, num_shards, resume_granularity))
         for g in range(resume_granularity)
@@ -94,30 +116,25 @@ def run_kg_pipeline(
         ds = pages.map_batches(
             _extract_group, batch_format="pyarrow", batch_size=kg.EXTRACT_BATCH_SIZE
         )
+        group_dir = os.path.join(parsed_dir, f"group={gi}")
         # clean any partial output of a previous killed attempt for this unit
-        for s in shard_list:
-            manifest.clean_unit_dir(os.path.join(parsed_dir, f"shard={s}"))
-        ds.write_parquet(parsed_dir, partition_cols=["shard"])
-        # row count from parquet footers — no data re-read
-        import pyarrow.parquet as pq
-
-        rows = 0
-        for s in shard_list:
-            sdir = os.path.join(parsed_dir, f"shard={s}")
-            if os.path.isdir(sdir):
-                for f in os.listdir(sdir):
-                    if f.endswith(".parquet"):
-                        rows += pq.ParquetFile(os.path.join(sdir, f)).metadata.num_rows
+        manifest.clean_unit_dir(group_dir)
+        ds.write_parquet(group_dir)
         manifest.mark_done(
             unit,
-            rows,
+            _dir_rows(group_dir),
             counters=ray.get(counter.get_all.remote()),
             wall_sec=time.time() - t0,
         )
         _checkpoint_gate()
 
     def _parsed(columns=None):
-        return rd.read_parquet(parsed_dir, columns=columns)
+        # the checkpoint is small relative to its file count (one dir per
+        # shard); coalesce into few read blocks so the downstream shuffle
+        # barriers (whose fixed cost is per input block) stay cheap
+        return rd.read_parquet(
+            parsed_dir, columns=columns, override_num_blocks=16
+        )
 
     # ---- phase 2: nodes ----------------------------------------------------
     nodes_dir = os.path.join(out_dir, "nodes")
@@ -126,8 +143,7 @@ def run_kg_pipeline(
         manifest.clean_unit_dir(nodes_dir)
         nodes = kg.nodes_ds(_parsed(columns=["url", "nodes"]))
         nodes.write_parquet(nodes_dir)
-        n = rd.read_parquet(nodes_dir).count()
-        manifest.mark_done("nodes", n, wall_sec=time.time() - t0)
+        manifest.mark_done("nodes", _dir_rows(nodes_dir), wall_sec=time.time() - t0)
         _checkpoint_gate()
 
     # ---- phase 3: edges ----------------------------------------------------
@@ -135,11 +151,10 @@ def run_kg_pipeline(
     if "edges" not in done:
         t0 = time.time()
         manifest.clean_unit_dir(edges_dir)
-        node_ids = frozenset(rd.read_parquet(nodes_dir, columns=["id"]).unique("id"))
+        node_ids = frozenset(_read_small(nodes_dir, ["id"])["id"])
         edges = kg.edges_ds(_parsed(columns=["url", "triples"]), node_ids=node_ids)
         edges.write_parquet(edges_dir)
-        n = rd.read_parquet(edges_dir).count()
-        manifest.mark_done("edges", n, wall_sec=time.time() - t0)
+        manifest.mark_done("edges", _dir_rows(edges_dir), wall_sec=time.time() - t0)
         _checkpoint_gate()
 
     # ---- phase 4: canonicalization ----------------------------------------
@@ -149,9 +164,17 @@ def run_kg_pipeline(
         t0 = time.time()
         manifest.clean_unit_dir(canon_dir)
         manifest.clean_unit_dir(ecanon_dir)
-        canon = kg.canonical_nodes_ds(_parsed(columns=["url", "nodes"]))
+        # canonical pick over the deduped nodes table ≡ over raw occurrences:
+        # each id's keep-first row already carries the min-seq surface form,
+        # so min-by-seq per blocking key is unchanged — and the input is the
+        # small nodes parquet, not a parsed re-read
+        from ..stages.linkage import canonical_map_ds
+
+        canon = canonical_map_ds(
+            rd.read_parquet(nodes_dir, columns=["url", "seq", "name"])
+        )
         canon.write_parquet(canon_dir)
-        canon_pdf = rd.read_parquet(canon_dir).to_pandas()
+        canon_pdf = _read_small(canon_dir)
         canon_map = {
             k: (i, n)
             for k, i, n in zip(
@@ -160,8 +183,35 @@ def run_kg_pipeline(
         }
         ecanon = kg.edges_canonical_ds(_parsed(columns=["url", "triples"]), canon_map=canon_map)
         ecanon.write_parquet(ecanon_dir)
-        n = rd.read_parquet(ecanon_dir).count()
-        manifest.mark_done("canonical", n, wall_sec=time.time() - t0)
+        manifest.mark_done("canonical", _dir_rows(ecanon_dir), wall_sec=time.time() - t0)
+        _checkpoint_gate()
+
+    # ---- phase 5: mention detection (NER actor pool) ----------------------
+    mentions_dir = os.path.join(out_dir, "mentions")
+    if "mentions" not in done:
+        t0 = time.time()
+        manifest.clean_unit_dir(mentions_dir)
+        from ..stages.ner import mentions_ds
+
+        # gazetteer = the longest node names (vocab cap keeps the compiled
+        # pattern bounded; documented truncation), deterministic order
+        names_pdf = _read_small(nodes_dir, ["name", "type"])
+        names_pdf = (
+            names_pdf.assign(_len=names_pdf["name"].str.len())
+            .sort_values(["_len", "name"], ascending=[False, True], kind="mergesort")
+            .head(5000)
+        )  # deterministic tie-break: (-length, name)
+        gaz = (names_pdf["name"].tolist(), names_pdf["type"].tolist())
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        extracted = rd.read_parquet(
+            parsed_dir, columns=["url", "text_out"], override_num_blocks=ncpu * 6
+        )  # fine-grained blocks: ~6 waves over the pool evens out stragglers
+        # fixed pool sized ncpu-2: autoscaling pools ramp too slowly for a
+        # short stage, and a pool equal to the CPU count would starve its
+        # own upstream read (deadlock) — leave two slots for the reader
+        mentions = mentions_ds(extracted, gaz, concurrency=max(2, ncpu - 2))
+        mentions.write_parquet(mentions_dir)
+        manifest.mark_done("mentions", _dir_rows(mentions_dir), wall_sec=time.time() - t0)
         _checkpoint_gate()
 
     return {

@@ -41,31 +41,32 @@ def _tokens(text: str) -> list[str]:
 def dedup_exact_ds(sf_dir: str):
     """documents → (content_hash, keep_doc_id, n_dups): exact dedup by md5 of
     text, keep the smallest doc_id (hash-partition + per-group first, G6)."""
+    from ..stages.grouped import hash_partitioned_agg
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["text"].map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
-        part = pd.DataFrame({"content_hash": h, "doc_id": batch["doc_id"]})
-        g = part.groupby("content_hash", sort=False)["doc_id"]
+    def _to_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "content_hash": g.min().index,
-                "keep_doc_id": g.min().values,
-                "n_dups": g.size().values.astype("int64"),
+                "content_hash": batch["text"].map(
+                    lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+                ),
+                "keep_doc_id": batch["doc_id"],
+                "n_dups": np.int64(1),
             }
         )
 
-    def _combine(group: pd.DataFrame) -> pd.DataFrame:
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("content_hash", sort=False)
         return pd.DataFrame(
             {
-                "content_hash": [group["content_hash"].iloc[0]],
-                "keep_doc_id": [group["keep_doc_id"].min()],
-                "n_dups": [group["n_dups"].sum()],
+                "content_hash": g["keep_doc_id"].min().index,
+                "keep_doc_id": g["keep_doc_id"].min().values,
+                "n_dups": g["n_dups"].sum().values,
             }
         )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    partials = docs.map_batches(_partial, batch_format="pandas")
-    return partials.groupby("content_hash").map_groups(_combine, batch_format="pandas")
+    rows = docs.map_batches(_to_rows, batch_format="pandas")
+    return hash_partitioned_agg(rows, ["content_hash"], _agg)
 
 
 def lang_id_batch(batch: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFrame:
@@ -108,31 +109,30 @@ def text_quality_ds(sf_dir: str):
 
 def token_count_by_lang_ds(sf_dir: str):
     """Per-lang total token count: per-batch partial sums → tiny groupby."""
+    from ..stages.grouped import hash_partitioned_agg
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        n = batch["text"].map(lambda t: len(_tokens(t))).astype("int64")
-        g = pd.DataFrame({"lang": batch["lang"], "n": n}).groupby("lang", sort=False)["n"]
+    def _to_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "lang": g.sum().index,
-                "total_tokens": g.sum().values,
-                "n_docs": g.size().values.astype("int64"),
+                "lang": batch["lang"],
+                "total_tokens": batch["text"].map(lambda t: len(_tokens(t))).astype("int64"),
+                "n_docs": np.int64(1),
             }
         )
 
-    def _combine(group: pd.DataFrame) -> pd.DataFrame:
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", sort=False)
         return pd.DataFrame(
             {
-                "lang": [group["lang"].iloc[0]],
-                "total_tokens": [group["total_tokens"].sum()],
-                "n_docs": [group["n_docs"].sum()],
+                "lang": g["total_tokens"].sum().index,
+                "total_tokens": g["total_tokens"].sum().values,
+                "n_docs": g["n_docs"].sum().values,
             }
         )
 
     docs = read_table(sf_dir, "documents", columns=["lang", "text"])
-    return docs.map_batches(_partial, batch_format="pandas").groupby("lang").map_groups(
-        _combine, batch_format="pandas"
-    )
+    rows = docs.map_batches(_to_rows, batch_format="pandas")
+    return hash_partitioned_agg(rows, ["lang"], _agg, num_parts=4)
 
 
 def fingerprint_ds(sf_dir: str, window: int = 4, k: int = 8):

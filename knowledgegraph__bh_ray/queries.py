@@ -35,7 +35,7 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"  # the driver's oracle-compare scale
 
 # paths the static SQL strings point at (sf0.01)
 _G = golden_dir(SF_CORRECTNESS)
-_P = pages_path(SF_CORRECTNESS)
+_P = pages_path(SF_CORRECTNESS) + "/*.parquet"  # shard-dir glob for DuckDB
 
 # normalization expression — SQL mirror of stages/linkage.normalize_surface
 _NORM = (
@@ -110,18 +110,24 @@ def q_kg_edges_canonical(sf_dir: str):
 
 
 def q_kg_degree(sf_dir: str):
+    from .stages.grouped import hash_partitioned_agg
+
     edges = kg.edges_ds(_prep(sf_dir))
 
-    def _deg(group: pd.DataFrame) -> pd.DataFrame:
+    def _to_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "subj": [group["subj"].iloc[0]],
-                "n_out": np.int64(len(group)),
-                "total_weight": group["weight"].sum(),
+                "subj": batch["subj"],
+                "n_out": np.int64(1),
+                "total_weight": batch["weight"].astype("int64"),
             }
         )
 
-    return edges.groupby("subj").map_groups(_deg, batch_format="pandas")
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("subj", sort=False, as_index=False)[["n_out", "total_weight"]].sum()
+
+    rows = edges.map_batches(_to_rows, batch_format="pandas")
+    return hash_partitioned_agg(rows, ["subj"], _agg, num_parts=8)
 
 
 def q_kg_mentions(sf_dir: str):

@@ -93,17 +93,41 @@ def candidate_pairs_from_band(group: pd.DataFrame, id_col: str, threshold: float
 def minhash_pairs_ds(ds, id_col: str, text_col: str, threshold: float = 0.8):
     """Dataset(id, text) → near-dup pairs (id_a, id_b, est_jaccard), distinct.
 
-    band explode (map_batches) → groupby(band_id, band_hash) → per-bucket
-    verify → distinct pairs (a pair can surface from several bands)."""
-    bands = ds.map_batches(
-        lambda b: minhash_bands_batch(b, id_col, text_col), batch_format="pandas"
+    band explode (map_batches) → hash-partition on (band_id, band_hash) →
+    per-partition: drop singleton buckets *vectorized* (the overwhelming
+    majority), pairwise-verify only real collision buckets → distinct pairs.
+    """
+    from .grouped import PART_COL, _key_hash, distinct_block, hash_partitioned_agg
+
+    num_parts = 16
+
+    def _bands(batch: pd.DataFrame) -> pd.DataFrame:
+        out = minhash_bands_batch(batch, id_col, text_col)
+        out[PART_COL] = (_key_hash(out, ["band_id", "band_hash"]) % num_parts).astype("int64")
+        return out
+
+    def _verify_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["band_id", "band_hash", id_col])
+        # vectorized singleton-bucket elimination
+        g = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
+        frames = []
+        for _, bucket in g.groupby(["band_id", "band_hash"], sort=False):
+            frames.append(candidate_pairs_from_band(bucket, id_col, threshold))
+        if not frames:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=object), "id_b": pd.Series([], dtype=object),
+                 "est_jaccard": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    bands = ds.map_batches(_bands, batch_format="pandas")
+    pairs = (
+        bands.repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_verify_part, batch_format="pandas")
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: candidate_pairs_from_band(g, id_col, threshold), batch_format="pandas"
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1).reset_index(drop=True), batch_format="pandas"
-    )
+    return hash_partitioned_agg(pairs, ["id_a", "id_b"], distinct_block(["id_a", "id_b"]),
+                                num_parts=8)
 
 
 # ---------------------------------------------------------------------------
@@ -145,10 +169,13 @@ def simhash_bands_batch(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.D
 
 
 def simhash_pairs_ds(ds, id_col: str, text_col: str, max_hamming: int = 3):
-    """Near-dup pairs by simhash: equal band → candidate, Hamming ≤ k verify."""
+    """Near-dup pairs by simhash: equal band → candidate, Hamming ≤ k verify.
+    Same partitioned-bucket layout as minhash_pairs_ds."""
+    from .grouped import PART_COL, _key_hash, distinct_block, hash_partitioned_agg
 
-    def _verify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
+    num_parts = 16
+
+    def _verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].tolist()
         hs = [int(x) for x in g["simhash"]]
         rows = {"id_a": [], "id_b": [], "hamming": []}
@@ -159,21 +186,38 @@ def simhash_pairs_ds(ds, id_col: str, text_col: str, max_hamming: int = 3):
                     rows["id_a"].append(ids[i])
                     rows["id_b"].append(ids[j])
                     rows["hamming"].append(d)
-        out = pd.DataFrame(rows)
-        if out.empty:
-            out = pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
-                                "id_b": pd.Series([], dtype=g[id_col].dtype),
-                                "hamming": pd.Series([], dtype="int64")})
+        return pd.DataFrame(rows)
+
+    def _bands(batch: pd.DataFrame) -> pd.DataFrame:
+        out = simhash_bands_batch(batch, id_col, text_col)
+        out[PART_COL] = (_key_hash(out, ["band_id", "band_val"]) % num_parts).astype("int64")
+        return out
+
+    def _verify_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["band_id", "band_val", id_col])
+        g = g.sort_values(id_col, kind="mergesort")
+        g = g[g.duplicated(subset=["band_id", "band_val"], keep=False)]
+        frames = [
+            _verify_bucket(bucket) for _, bucket in g.groupby(["band_id", "band_val"], sort=False)
+        ]
+        frames = [f for f in frames if not f.empty]
+        if not frames:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=object), "id_b": pd.Series([], dtype=object),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        out = pd.concat(frames, ignore_index=True)
         out["hamming"] = out["hamming"].astype("int64")
         return out
 
-    bands = ds.map_batches(
-        lambda b: simhash_bands_batch(b, id_col, text_col), batch_format="pandas"
+    bands = ds.map_batches(_bands, batch_format="pandas")
+    pairs = (
+        bands.repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_verify_part, batch_format="pandas")
     )
-    pairs = bands.groupby(["band_id", "band_val"]).map_groups(_verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1).reset_index(drop=True), batch_format="pandas"
-    )
+    return hash_partitioned_agg(pairs, ["id_a", "id_b"], distinct_block(["id_a", "id_b"]),
+                                num_parts=8)
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +250,9 @@ def jaccard_pairs_ds(ds, block_col: str, id_col: str, text_col: str, threshold: 
                                 "jaccard": pd.Series([], dtype="float64")})
         return out
 
-    return ds.groupby(block_col).map_groups(_pairs, batch_format="pandas")
+    from .grouped import coalesced_groupby
+
+    return coalesced_groupby(ds, block_col).map_groups(_pairs, batch_format="pandas")
 
 
 def embedding_pairs_ds(ds, block_col: str, id_col: str, vec_col: str, threshold: float):
@@ -226,4 +272,6 @@ def embedding_pairs_ds(ds, block_col: str, id_col: str, vec_col: str, threshold:
             {"id_a": ids[iu[m]], "id_b": ids[ju[m]]}
         ).astype({"id_a": "int64", "id_b": "int64"})
 
-    return ds.groupby(block_col).map_groups(_pairs, batch_format="pandas")
+    from .grouped import coalesced_groupby
+
+    return coalesced_groupby(ds, block_col).map_groups(_pairs, batch_format="pandas")

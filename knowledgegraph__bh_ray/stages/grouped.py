@@ -1,132 +1,187 @@
 """Skew-aware grouped aggregation machinery (SURVEY.md §4 "Skew / stragglers").
 
 Web-text entity keys are Zipfian — a bare ``groupby(key)`` ships every
-occurrence of the head entity to one reducer.  Every wide aggregation in this
-engine therefore runs in three levels:
+occurrence of the head entity to one reducer, and per-*group* Python
+callbacks pay a fixed cost per distinct key.  Every wide aggregation in this
+engine therefore runs as:
 
-  1. **per-batch partial** (``map_batches``): collapse duplicates inside each
-     Arrow batch before anything is shuffled — for dup-heavy web text this is
-     the big volume reducer;
-  2. **salted combine** (``groupby(keys + [_salt])``): partials for the same
-     key are spread over ``salt_buckets`` reducers (salt = stable hash of the
-     partial's origin), bounding any single reducer's group size;
-  3. **final combine** (``groupby(keys)``): at most ``salt_buckets`` rows per
-     key remain — trivially cheap.
+  1. **per-batch partial** (``map_batches``): a *vectorized* combine of the
+     rows inside each Arrow batch (pandas groupby/drop_duplicates — C code,
+     no per-key Python).  For dup-heavy web text this is the big volume
+     reducer, and it is also the skew guard: after it, any key contributes
+     at most one row per (batch, salt) — the head key's rows are already
+     spread across ``salt_buckets`` logical reducers.
+  2. **hash-partitioned combine**: rows are routed to ``num_parts``
+     partitions by a hash of (keys, salt); ``groupby(_part).map_groups``
+     fires the UDF once per *partition* (16 calls, not one per key), and
+     inside the partition the same vectorized combine collapses everything.
+  3. **final combine**: identical, partitioned by hash(keys) only, merging
+     the per-salt rows (≤ salt_buckets per key).
 
-The combine function must be associative + commutative over partial rows
-(min-by-seq keep-first, sum-of-count, …), which makes the result independent
-of partition count and execution order — property-tested in
-tests/test_invariance.py.
+The block aggregation function must be **associative + commutative** over
+rows sharing a key (min-by-seq keep-first, sum-of-weight, …), which makes
+the result independent of partition count, batch size and execution order —
+property-tested in tests/test_invariance.py.
+
+Partition-count note: ``num_parts``/``combine_partitions`` bound the number
+of reduce tasks over *partially-aggregated* data (size ~ |keys|, not
+|input|); on a multi-node cluster set them to O(cluster cores).
 """
 
 from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 from ..functions.hashing import stable_u64
 
 SALT_COL = "_salt"
+PART_COL = "_part"
+
+# Ray's sort-based groupby pays a fixed per-block cost (~50 ms/block in
+# local mode); coalescing small datasets before a shuffle removes pure
+# overhead.
+DEFAULT_COMBINE_PARTITIONS = 16
 
 
-def add_salt(batch: pa.Table, salt_from: str, salt_buckets: int) -> pa.Table:
-    """Append a deterministic salt column derived from ``salt_from``."""
-    vals = batch.column(salt_from).to_pylist()
-    salts = pa.array([stable_u64(v) % salt_buckets for v in vals], pa.int32())
-    return batch.append_column(SALT_COL, salts)
+def coalesced_groupby(ds, keys, num_partitions: int = DEFAULT_COMBINE_PARTITIONS):
+    """repartition (cheap, no shuffle-sort) + groupby — the engine's default
+    wide-aggregation entry for already-small datasets."""
+    return ds.repartition(num_partitions).groupby(keys)
+
+
+def _key_hash(df: pd.DataFrame, cols: list[str]) -> pd.Series:
+    """Fast vectorized row hash of key columns (load-balancing only — the
+    aggregation result never depends on partition assignment)."""
+    s = df[cols[0]].astype(str)
+    for c in cols[1:]:
+        s = s + "\x1f" + df[c].astype(str)
+    return pd.util.hash_pandas_object(s, index=False)
+
+
+def hash_partitioned_agg(
+    ds,
+    keys: list[str],
+    block_agg: Callable[[pd.DataFrame], pd.DataFrame],
+    num_parts: int = DEFAULT_COMBINE_PARTITIONS,
+):
+    """One-level hash-partitioned aggregation: partial per batch, route by
+    hash(keys), vectorized combine per partition.  ``block_agg(df)`` must
+    collapse rows sharing ``keys`` and be associative."""
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        part = block_agg(batch)
+        part[PART_COL] = (_key_hash(part, keys) % num_parts).astype("int64")
+        return part
+
+    def _combine(group: pd.DataFrame) -> pd.DataFrame:
+        return block_agg(group.drop(columns=[PART_COL]))
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return (
+        partials.repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_combine, batch_format="pandas")
+    )
 
 
 def salted_grouped_agg(
     ds,
     keys: list[str],
-    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    combine_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    block_agg: Callable[[pd.DataFrame], pd.DataFrame],
     salt_from: str,
     salt_buckets: int = 16,
+    combine_partitions: int = DEFAULT_COMBINE_PARTITIONS,
+    block_agg_salted: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
 ):
     """Three-level skew-aware aggregation; see module docstring.
 
-    ``partial_fn``: pandas batch → one row per key present in the batch.
-    ``combine_fn``: pandas group (all rows share ``keys``) → one row.
-    Both must emit the same schema (keys + aggregate columns).
+    ``block_agg``: vectorized combine of rows sharing ``keys`` within a
+    DataFrame.  ``block_agg_salted`` (default: same logic over
+    keys+[_salt]) is used for the intermediate salted level.
     """
-
-    def _partial_with_salt(batch: pd.DataFrame) -> pd.DataFrame:
-        part = partial_fn(batch)
-        # salt from the partial's representative origin row: deterministic,
-        # and different batches' partials for the same key get different
-        # salts, spreading the head key over salt_buckets reducers
-        part[SALT_COL] = [stable_u64(str(v)) % salt_buckets for v in part[salt_from]]
-        return part
-
-    def _combine(group: pd.DataFrame) -> pd.DataFrame:
-        return combine_fn(group)
-
-    def _combine_drop_salt(group: pd.DataFrame) -> pd.DataFrame:
-        out = combine_fn(group)
-        return out.drop(columns=[SALT_COL], errors="ignore")
-
-    partials = ds.map_batches(_partial_with_salt, batch_format="pandas")
-    level2 = partials.groupby(keys + [SALT_COL]).map_groups(
-        _combine, batch_format="pandas"
-    )
-    return level2.groupby(keys).map_groups(_combine_drop_salt, batch_format="pandas")
-
-
-# ---------------------------------------------------------------------------
-# Stock partial/combine pairs
-# ---------------------------------------------------------------------------
-
-
-def keep_first_partial(keys: list[str], order_col: str):
-    """Partial: keep the min-``order_col`` row per key within the batch."""
+    salted = block_agg_salted
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        part = block_agg(batch)
+        # salt from the representative origin row: deterministic, and
+        # different batches' partials for the same key get different salts,
+        # spreading the head key across salt_buckets logical reducers
+        part[SALT_COL] = [stable_u64(str(v)) % salt_buckets for v in part[salt_from]]
+        part[PART_COL] = (_key_hash(part, keys + [SALT_COL]) % combine_partitions).astype(
+            "int64"
+        )
+        return part
+
+    def _combine_salted(group: pd.DataFrame) -> pd.DataFrame:
+        df = group.drop(columns=[PART_COL])
+        out = salted(df) if salted else block_agg(df.drop(columns=[SALT_COL]))
+        if SALT_COL in out.columns:
+            out = out.drop(columns=[SALT_COL])
+        out[PART_COL] = (_key_hash(out, keys) % combine_partitions).astype("int64")
+        return out
+
+    def _combine_final(group: pd.DataFrame) -> pd.DataFrame:
+        return block_agg(group.drop(columns=[PART_COL]))
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    level2 = (
+        partials.repartition(combine_partitions)
+        .groupby(PART_COL)
+        .map_groups(_combine_salted, batch_format="pandas")
+    )
+    return (
+        level2.repartition(combine_partitions)
+        .groupby(PART_COL)
+        .map_groups(_combine_final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stock vectorized block aggregations
+# ---------------------------------------------------------------------------
+
+
+def keep_first_block(keys: list[str], order_col: str):
+    """Vectorized keep-first: min-``order_col`` row per key (associative)."""
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
         return (
-            batch.sort_values(order_col, kind="mergesort")
+            df.sort_values(order_col, kind="mergesort")
             .drop_duplicates(subset=keys, keep="first")
             .reset_index(drop=True)
         )
 
-    return _partial
+    return _agg
 
 
-def keep_first_combine(keys: list[str], order_col: str):
-    """Combine: min-``order_col`` row of the group (associative keep-first)."""
+def count_first_block(keys: list[str], order_col: str, weight_col: str = "weight"):
+    """Vectorized count+first: per key, ``weight`` = summed occurrence count
+    (rows without a weight column count 1 each) and representative fields
+    from the min-``order_col`` row.  Associative across levels."""
 
-    def _combine(group: pd.DataFrame) -> pd.DataFrame:
-        return (
-            group.sort_values(order_col, kind="mergesort").head(1).reset_index(drop=True)
-        )
-
-    return _combine
-
-
-def count_first_partial(keys: list[str], order_col: str, weight_col: str = "weight"):
-    """Partial: per key — row count as ``weight`` + min-order representative."""
-
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        counts = batch.groupby(keys, sort=False).size().rename(weight_col)
-        first = (
-            batch.sort_values(order_col, kind="mergesort")
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        if weight_col not in df.columns:
+            df = df.assign(**{weight_col: np.int64(1)})
+        w = df.groupby(keys, sort=False)[weight_col].sum()
+        rep = (
+            df.sort_values(order_col, kind="mergesort")
             .drop_duplicates(subset=keys, keep="first")
             .set_index(keys)
         )
-        out = first.join(counts).reset_index()
-        return out
+        rep[weight_col] = w
+        return rep.reset_index()
 
-    return _partial
+    return _agg
 
 
-def count_first_combine(keys: list[str], order_col: str, weight_col: str = "weight"):
-    """Combine: sum partial weights, keep min-order representative fields."""
+def distinct_block(keys: list[str]):
+    """Vectorized distinct-by-keys (keeps the first seen row arbitrarily —
+    use only when non-key columns are equal within a key)."""
 
-    def _combine(group: pd.DataFrame) -> pd.DataFrame:
-        total = group[weight_col].sum()
-        row = group.sort_values(order_col, kind="mergesort").head(1).copy()
-        row[weight_col] = total
-        return row.reset_index(drop=True)
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=keys).reset_index(drop=True)
 
-    return _combine
+    return _agg

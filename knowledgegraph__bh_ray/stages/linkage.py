@@ -53,25 +53,17 @@ def normalize_surface_series(s: pd.Series) -> pd.Series:
 def canonical_map_ds(nodes_raw, salt_buckets: int = 16):
     """nodes_raw(url, seq, name, …) → canonical map Dataset
     (norm_key, canon_name, canon_id) via two-phase salted groupby."""
-    from .grouped import salted_grouped_agg
+    from .grouped import keep_first_block, salted_grouped_agg
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def _add_norm(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[["url", "seq", "name"]].copy()
         b["norm_key"] = normalize_surface_series(b["name"])
-        return (
-            b.sort_values("seq", kind="mergesort")
-            .drop_duplicates(subset=["norm_key"], keep="first")
-            .reset_index(drop=True)
-        )
-
-    def _combine(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values("seq", kind="mergesort").head(1).reset_index(drop=True)
+        return b
 
     agg = salted_grouped_agg(
-        nodes_raw,
+        nodes_raw.map_batches(_add_norm, batch_format="pandas"),
         keys=["norm_key"],
-        partial_fn=_partial,
-        combine_fn=_combine,
+        block_agg=keep_first_block(["norm_key"], "seq"),
         salt_from="url",
         salt_buckets=salt_buckets,
     )
@@ -97,19 +89,19 @@ class CanonicalizeTriples:
     def __init__(self, canon_map_ref):
         import ray
 
-        self.canon = ray.get(canon_map_ref)  # dict: norm_key -> (canon_id, canon_name)
+        canon = ray.get(canon_map_ref)  # dict: norm_key -> (canon_id, canon_name)
+        # split into two plain dicts: Series.map(dict) runs on the C path
+        self.id_map = {k: v[0] for k, v in canon.items()}
+        self.name_map = {k: v[1] for k, v in canon.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
             return batch
         sk = normalize_surface_series(batch["subj_name"])
         ok = normalize_surface_series(batch["obj_name"])
-        canon = self.canon
-        subj = sk.map(lambda k: canon.get(k, (None, None))[0])
-        obj = ok.map(lambda k: canon.get(k, (None, None))[0])
         out = batch.copy()
-        out["subj"] = subj
-        out["obj"] = obj
-        out["subj_name"] = sk.map(lambda k: canon.get(k, (None, None))[1])
-        out["obj_name"] = ok.map(lambda k: canon.get(k, (None, None))[1])
+        out["subj"] = sk.map(self.id_map)
+        out["obj"] = ok.map(self.id_map)
+        out["subj_name"] = sk.map(self.name_map)
+        out["obj_name"] = ok.map(self.name_map)
         return out[out["subj"].notna() & out["obj"].notna()].reset_index(drop=True)

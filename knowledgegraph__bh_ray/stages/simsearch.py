@@ -63,8 +63,12 @@ def brute_topk_ds(ds, queries: dict[int, np.ndarray], id_col: str, vec_col: str,
             }
         )
 
+    from .grouped import coalesced_groupby
+
     partials = ds.map_batches(_partial, batch_format="pandas")
-    return partials.groupby("query_id").map_groups(_final, batch_format="pandas")
+    return coalesced_groupby(partials, "query_id", 4).map_groups(
+        _final, batch_format="pandas"
+    )
 
 
 def lsh_buckets_batch(batch: pd.DataFrame, vec_col: str) -> pd.DataFrame:
@@ -139,6 +143,10 @@ def lsh_topk_ds(ds, queries: dict[int, np.ndarray], id_col: str, vec_col: str, k
             }
         )
 
+    from .grouped import coalesced_groupby
+
     bucketed = ds.map_batches(lambda b: lsh_buckets_batch(b, vec_col), batch_format="pandas")
     partials = bucketed.map_batches(_partial, batch_format="pandas")
-    return partials.groupby("query_id").map_groups(_final, batch_format="pandas")
+    return coalesced_groupby(partials, "query_id", 4).map_groups(
+        _final, batch_format="pandas"
+    )

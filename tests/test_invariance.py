@@ -7,11 +7,7 @@ import pandas as pd
 from knowledgegraph__bh_ray.pipelines import kg
 from knowledgegraph__bh_ray.sources import read_pages
 from knowledgegraph__bh_ray.stages.extract import extract_parse_batch
-from knowledgegraph__bh_ray.stages.grouped import (
-    count_first_combine,
-    count_first_partial,
-    salted_grouped_agg,
-)
+from knowledgegraph__bh_ray.stages.grouped import count_first_block, salted_grouped_agg
 
 
 def _edges_with(pages_path, batch_size, salt_buckets, num_blocks):
@@ -53,8 +49,7 @@ def test_salted_agg_equals_pandas_groupby(ray_session):
         salted_grouped_agg(
             ds,
             keys=["k"],
-            partial_fn=count_first_partial(["k"], "seq"),
-            combine_fn=count_first_combine(["k"], "seq"),
+            block_agg=count_first_block(["k"], "seq"),
             salt_from="url",
             salt_buckets=5,
         )

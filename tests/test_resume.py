@@ -49,7 +49,14 @@ def test_kill_resume_equals_fresh(ray_session, pages_small, tmp_path):
 
     # lineage: every unit has a manifest record with counters/wall time
     units = {r["unit"] for r in Manifest(resumed_dir).records()}
-    assert units == {"parsed:group=0", "parsed:group=1", "nodes", "edges", "canonical"}
+    assert units == {
+        "parsed:group=0",
+        "parsed:group=1",
+        "nodes",
+        "edges",
+        "canonical",
+        "mentions",
+    }
 
 
 def test_resume_skips_completed_units(ray_session, pages_small, tmp_path):
