@@ -24,7 +24,8 @@ REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "10"))
 # --scaling amplifies the corpus further so compute dominates the fixed
 # per-job costs and the 8→32-CPU comparison measures the pipeline, not
 # scheduler overhead (both levels use the same input)
-SCALING_REPLICAS = int(os.environ.get("GRAFT_SCALING_REPLICAS", "40"))
+SCALING_REPLICAS = int(os.environ.get("GRAFT_SCALING_REPLICAS", "80"))
+HEADLINE_ONLY = os.environ.get("GRAFT_HEADLINE_ONLY", "0") == "1"
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
@@ -92,6 +93,8 @@ def run_bench() -> dict:
     )
 
     def timed(name, fn):
+        if HEADLINE_ONLY:
+            return
         t = time.time()
         fn()
         queries[name] = round(time.time() - t, 3)
@@ -146,6 +149,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_REPLICAS=str(SCALING_REPLICAS),
+            GRAFT_HEADLINE_ONLY="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -374,8 +374,8 @@ def _write_shards(documents_path, texts, langs, n_docs, tmp):
     langs_ref = ray.put(langs)
 
     @ray.remote
-    def _gen(i, s, e, texts_ref, langs_ref):
-        t = generate_pages_range(ray.get(texts_ref), ray.get(langs_ref), s, e, n_docs)
+    def _gen(i, s, e, texts, langs):  # ObjectRef args arrive dereferenced
+        t = generate_pages_range(texts, langs, s, e, n_docs)
         pq.write_table(t, os.path.join(tmp, f"part-{i:05d}.parquet"))
         return t.num_rows
 

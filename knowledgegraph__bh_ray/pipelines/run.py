@@ -198,9 +198,9 @@ def run_kg_pipeline(
         names_pdf = _read_small(nodes_dir, ["name", "type"])
         names_pdf = (
             names_pdf.assign(_len=names_pdf["name"].str.len())
-            .sort_values(["_len", "name"], ascending=[False, True], kind="mergesort")
+            .sort_values(["_len", "name"], ascending=[True, True], kind="mergesort")
             .head(5000)
-        )  # deterministic tie-break: (-length, name)
+        )  # vocab cap keeps the head (short, frequent) entities; ties by name
         gaz = (names_pdf["name"].tolist(), names_pdf["type"].tolist())
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         extracted = rd.read_parquet(
