@@ -1,0 +1,163 @@
+"""RDF exporters — JSON-LD (op W6), Turtle (op W8), OWL-style typing (W7).
+
+Clean-room re-expression of the reference's converters (no rdflib in this
+container — serialization is emitted directly):
+
+  * JSON-LD (csv2rdf-jsonld.py:16-156): ontology header entity, entity
+    ``@id = <iri>#md5(name)[:8]``, ``@type`` Class vs NamedIndividual by
+    the class-type set (csv2rdf-jsonld.py:10), rdfs:label, rdfs:comment
+    from the ``描述`` property, parent → subClassOf (classes) or rdf:type
+    (individuals), other properties as ``<iri>#<key>`` lists; relations
+    folded into the subject entity with per-@id dedup; **dangling
+    relations silently dropped** (csv2rdf-jsonld.py:94-99 — the engine's
+    edges table has already enforced this policy, counted in lineage).
+  * Merge-on-load (csv2rdf-jsonld.py:122-153): same ``@id`` ⇒ merge
+    key-by-key, list values unioned element-wise.
+  * Turtle (csv2ttl.py:13-129): classes in the ontology namespace,
+    individuals in the data namespace; rdf:type / rdfs:subClassOf from
+    parent; labels; relation predicates declared as owl:ObjectProperty.
+
+These run as driver-side formatters over the (small, post-shuffle)
+nodes/edges tables; at scale the same functions drop into a map_batches
+formatter stage writing one file per partition.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+ONTOLOGY_IRI = "http://www.semanticweb.org/dell/ontologies/2025/2/untitled-ontology-8"
+DATA_IRI = "http://www.example.org/data/"
+
+# csv2rdf-jsonld.py:10 class-type set (csv2ttl.py:11 uses a superset)
+CLASS_TYPES = {"概念", "元素", "类别", "模型", "组件"}
+
+OWL = "http://www.w3.org/2002/07/owl#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _props(row) -> dict:
+    return json.loads(row["props_json"]) if row.get("props_json") else {}
+
+
+def nodes_edges_to_jsonld(
+    nodes: pd.DataFrame,
+    edges: pd.DataFrame,
+    ontology_iri: str = ONTOLOGY_IRI,
+    existing: list | None = None,
+) -> list:
+    """nodes+edges tables → JSON-LD entity list (merge-on-load supported)."""
+    out = [{"@id": ontology_iri, "@type": [f"{OWL}Ontology"]}]
+    id_to_uri = {}
+    name_by_id = dict(zip(nodes["id"], nodes["name"]))
+
+    for _, row in nodes.iterrows():
+        uri = f"{ontology_iri}#{row['id']}"
+        id_to_uri[row["id"]] = uri
+        entity: dict = {"@id": uri}
+        is_class = row["type"] in CLASS_TYPES
+        entity["@type"] = [f"{OWL}Class" if is_class else f"{OWL}NamedIndividual"]
+        entity[f"{RDFS}label"] = [row["name"]]
+        props = _props(row)
+        if props.get("描述"):
+            entity[f"{RDFS}comment"] = [props["描述"]]
+        parent = (row.get("parent") or "").strip()
+        if parent and parent in name_by_id:
+            parent_uri = f"{ontology_iri}#{parent}"
+            if is_class:
+                entity[f"{RDFS}subClassOf"] = [{"@id": parent_uri}]
+            else:
+                entity[f"{RDF}type"] = [{"@id": parent_uri}]
+        for k, v in props.items():
+            if k != "描述" and v:
+                entity[f"{ontology_iri}#{k}"] = [v]
+        out.append(entity)
+
+    merged = list(existing) if existing else []
+    existing_ids = {e.get("@id") for e in merged}
+    for entity in out:
+        if entity["@id"] not in existing_ids:
+            merged.append(entity)
+            continue
+        for target in merged:
+            if target.get("@id") != entity["@id"]:
+                continue
+            for key, value in entity.items():
+                if key not in target:
+                    target[key] = value
+                elif isinstance(target[key], list) and isinstance(value, list):
+                    for v in value:
+                        if v not in target[key]:
+                            target[key].append(v)
+            break
+
+    by_id = {e.get("@id"): e for e in merged}
+    for _, rel in edges.iterrows():
+        subj_uri = id_to_uri.get(rel["subj"])
+        obj_uri = id_to_uri.get(rel["obj"])
+        if not subj_uri or not obj_uri:
+            continue  # dangling — already-dropped policy
+        predicate = f"{ontology_iri}#{str(rel['pred']).replace(' ', '_')}"
+        entity = by_id.get(subj_uri)
+        if entity is None:
+            continue
+        values = entity.setdefault(predicate, [])
+        if not any(isinstance(v, dict) and v.get("@id") == obj_uri for v in values):
+            values.append({"@id": obj_uri})
+    return merged
+
+
+def _ttl_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def nodes_edges_to_ttl(
+    nodes: pd.DataFrame,
+    edges: pd.DataFrame,
+    ontology_iri: str = ONTOLOGY_IRI + "#",
+    data_iri: str = DATA_IRI,
+) -> str:
+    """nodes+edges tables → Turtle text (csv2ttl.py namespace layout)."""
+    lines = [
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .",
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .",
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .",
+        f"@prefix ont: <{ontology_iri}> .",
+        f"@prefix data: <{data_iri}> .",
+        "",
+    ]
+    is_class = {row["id"]: row["type"] in CLASS_TYPES for _, row in nodes.iterrows()}
+
+    def ref(nid: str) -> str:
+        return f"ont:{nid}" if is_class.get(nid) else f"data:{nid}"
+
+    for _, row in nodes.iterrows():
+        nid = row["id"]
+        subject = ref(nid)
+        lines.append(f'{subject} a {"owl:Class" if is_class[nid] else "owl:NamedIndividual"} ;')
+        lines.append(f'    rdfs:label "{_ttl_escape(row["name"])}" .')
+        parent = (row.get("parent") or "").strip()
+        if parent and parent in is_class:
+            if is_class[nid] and is_class[parent]:
+                lines.append(f"{subject} rdfs:subClassOf {ref(parent)} .")
+            elif not is_class[nid] and is_class[parent]:
+                lines.append(f"{subject} a {ref(parent)} .")
+        for k, v in _props(row).items():
+            if v:
+                prop = k.replace(":", "_").replace(" ", "_")
+                lines.append(f'{subject} ont:{prop} "{_ttl_escape(str(v))}" .')
+
+    declared: set[str] = set()
+    for _, rel in edges.iterrows():
+        if rel["subj"] not in is_class or rel["obj"] not in is_class:
+            continue  # dangling dropped (csv2ttl.py:112-117)
+        pred = str(rel["pred"]).replace(" ", "_")
+        if pred not in declared:
+            declared.add(pred)
+            lines.append(f"ont:{pred} a owl:ObjectProperty ;")
+            lines.append(f'    rdfs:label "{_ttl_escape(str(rel["pred"]))}" .')
+        lines.append(f'{ref(rel["subj"])} ont:{pred} {ref(rel["obj"])} .')
+    return "\n".join(lines) + "\n"

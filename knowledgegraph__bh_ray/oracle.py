@@ -169,6 +169,24 @@ def oracle_extract(html_text: str) -> dict | None:
             if set(a.classes) & _SCOPED_LINK_CLASSES:
                 links_raw.append((a.text().strip(), a.attrs.get("href", "")))
 
+    references: list[dict] = []
+    for item in dom.find_all("div", "referenceItem_"):
+        link = item.find("a", "refLink_")
+        if link is None:
+            continue
+        ref_url = link.attrs.get("href", "")
+        if ref_url and not ref_url.startswith("http"):
+            ref_url = f"{BAIKE_PREFIX}{ref_url}"  # knowledge_extractor.py:221-222
+        spans = [n for n in item.find_all("span")]
+        references.append(
+            {
+                "title": link.text().strip(),
+                "url": ref_url,
+                "source": spans[0].text().strip() if len(spans) > 0 else "",
+                "date": spans[1].text().strip() if len(spans) > 1 else "",
+            }
+        )
+
     return {
         "title": title,
         "summary": summary,
@@ -176,6 +194,7 @@ def oracle_extract(html_text: str) -> dict | None:
         "catalog": catalog,
         "paragraphs": paragraphs,
         "links_raw": links_raw,
+        "references": references,
     }
 
 
@@ -189,6 +208,8 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
     htmls = pages_table.column("html").to_pylist()
 
     ext_rows = {"url": [], "title": [], "summary": [], "text_out": [], "n_paras": []}
+    rec_rows = {"url": [], "name": [], "contents": [], "basic_info_json": [],
+                "catalog_json": [], "paragraphs_json": [], "references_json": []}
     link_rows = {"url": [], "text": [], "href": []}
     node_rows = {"url": [], "seq": [], "id": [], "name": [], "type": [],
                  "parent": [], "props_json": []}
@@ -207,6 +228,16 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
         ext_rows["summary"].append(info["summary"])
         ext_rows["text_out"].append(text_out)
         ext_rows["n_paras"].append(len(paras))
+
+        rec_rows["url"].append(url)
+        rec_rows["name"].append(info["title"])
+        rec_rows["contents"].append(info["summary"])
+        rec_rows["basic_info_json"].append(
+            json.dumps(dict(map(tuple, info["basic_info"])), ensure_ascii=False)
+        )
+        rec_rows["catalog_json"].append(json.dumps(info["catalog"], ensure_ascii=False))
+        rec_rows["paragraphs_json"].append(json.dumps(info["paragraphs"], ensure_ascii=False))
+        rec_rows["references_json"].append(json.dumps(info["references"], ensure_ascii=False))
 
         for text, href in info["links_raw"]:
             link_rows["url"].append(url)
@@ -235,6 +266,7 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
     ext_rows["n_paras"] = pa.array(ext_rows["n_paras"], pa.int64())
     return {
         "extracted": pa.table(ext_rows),
+        "records": pa.table(rec_rows),
         "links_raw": pa.table(link_rows),
         "nodes_raw": pa.table(node_rows),
         "triples_raw": pa.table(triple_rows),
@@ -245,7 +277,7 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
 # Golden-file cache
 # ---------------------------------------------------------------------------
 
-GOLDEN_TABLES = ("extracted", "links_raw", "nodes_raw", "triples_raw")
+GOLDEN_TABLES = ("extracted", "records", "links_raw", "nodes_raw", "triples_raw")
 
 
 def golden_dir(sf_dir: str, root: str = GOLDEN_ROOT) -> str:

@@ -163,3 +163,58 @@ def edges_canonical_ds(source, canon_map: dict | None = None, concurrency=(2, 16
         salt_from="url",
         salt_buckets=16,
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-level graph (web-branch constructor semantics, J4/G5)
+# ---------------------------------------------------------------------------
+
+
+def page_graph_edges_ds(pages_path: str):
+    """Distinct page-link edges (src_url, dst_url, text) — the reference's
+    BFS children/parents relation (constructor.py:189-244) re-expressed
+    order-free: global distinct instead of visited-set mutation."""
+    from ..stages.grouped import distinct_block, hash_partitioned_agg
+
+    links = links_ds(pages_path).map_batches(
+        lambda df: df.rename(columns={"url": "src_url", "link_url": "dst_url"}),
+        batch_format="pandas",
+    )
+    return hash_partitioned_agg(
+        links, ["src_url", "dst_url", "text"], distinct_block(["src_url", "dst_url", "text"])
+    )
+
+
+def page_graph_nodes_ds(pages_path: str):
+    """Page nodes with placeholder semantics: crawled pages keep their
+    extracted title; link targets never crawled become placeholders named by
+    the (min) link text — the reference's placeholder-upsert
+    (constructor.py:207-229) as a groupby merge instead of a shared dict.
+    Deterministic delta vs the reference: placeholder name = lexicographic
+    min link text (the reference keeps BFS-encounter order)."""
+    import numpy as np
+
+    from ..stages.grouped import hash_partitioned_agg
+
+    real = extracted_ds(pages_path).map_batches(
+        lambda df: pd.DataFrame(
+            {"url": df["url"], "name": df["title"], "is_placeholder": np.int64(0)}
+        ),
+        batch_format="pandas",
+    )
+    targets = links_ds(pages_path).map_batches(
+        lambda df: pd.DataFrame(
+            {"url": df["link_url"], "name": df["text"], "is_placeholder": np.int64(1)}
+        ),
+        batch_format="pandas",
+    )
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        # real row (flag 0) wins; among placeholders, min name
+        return (
+            df.sort_values(["is_placeholder", "name"], kind="mergesort")
+            .drop_duplicates(subset=["url"], keep="first")
+            .reset_index(drop=True)
+        )
+
+    return hash_partitioned_agg(real.union(targets), ["url"], _merge)

@@ -95,6 +95,7 @@ def text_quality_ds(sf_dir: str):
             {
                 "doc_id": batch["doc_id"],
                 "n_chars": batch["text"].str.len().astype("int64"),
+                "est_tokens": (batch["text"].str.len() // 2).astype("int64"),  # M17 len//2 heuristic (read_v2.py:39-40)
                 "n_tokens": toks.map(len).astype("int64"),
                 "n_punct": batch["text"].map(lambda t: len(RE_PUNCT.findall(t))).astype("int64"),
                 "n_stopwords": toks.map(

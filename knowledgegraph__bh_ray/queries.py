@@ -137,6 +137,54 @@ def q_kg_mentions(sf_dir: str):
     return ner.mentions_ds(kg.extracted_ds(pages), (names, types))
 
 
+def q_kg_records(sf_dir: str):
+    from .stages.extract import extract_records_batch
+
+    return read_pages(_prep(sf_dir), columns=["url", "html"]).map_batches(
+        extract_records_batch, batch_format="pyarrow", batch_size=256
+    )
+
+
+def q_kg_page_graph_nodes(sf_dir: str):
+    return kg.page_graph_nodes_ds(_prep(sf_dir))
+
+
+def q_kg_page_graph_edges(sf_dir: str):
+    return kg.page_graph_edges_ds(_prep(sf_dir))
+
+
+def q_kg_chunks(sf_dir: str):
+    """Structure-aware markdown chunker (M9) over the documents table —
+    1→N rows; chunks concatenate byte-identically to the input (pytest)."""
+    from .functions.chunker import split_md_content
+
+    def _chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "chunk_idx": [], "chunk": [], "n_bytes": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            for i, chunk in enumerate(split_md_content(text, max_length=256, tolerance=32)):
+                out["doc_id"].append(doc_id)
+                out["chunk_idx"].append(i)
+                out["chunk"].append(chunk)
+                out["n_bytes"].append(len(chunk.encode("utf-8")))
+        df = pd.DataFrame(out)
+        df["chunk_idx"] = df["chunk_idx"].astype("int64")
+        df["n_bytes"] = df["n_bytes"].astype("int64")
+        return df
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(_chunk, batch_format="pandas")
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup clusters: minhash-LSH pairs → distributed min-label
+    connected components (union-find-style aggregate)."""
+    from .stages.cc import connected_components_ds
+
+    ext = kg.extracted_ds(_prep(sf_dir)).select_columns(["url", "text_out"])
+    pairs = dedup.minhash_pairs_ds(ext, "url", "text_out", threshold=0.9)
+    return connected_components_ds(pairs)
+
+
 def q_media_meta(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -242,6 +290,11 @@ QUERIES = {
     "kg_edges_canonical": q_kg_edges_canonical,
     "kg_degree": q_kg_degree,
     "kg_mentions": q_kg_mentions,
+    "kg_records": q_kg_records,
+    "kg_page_graph_nodes": q_kg_page_graph_nodes,
+    "kg_page_graph_edges": q_kg_page_graph_edges,
+    "kg_chunks": q_kg_chunks,
+    "dedup_clusters": q_dedup_clusters,
     "media_meta": q_media_meta,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
@@ -342,6 +395,33 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT subj, count(*) AS n_out, sum(weight)::BIGINT AS total_weight
             FROM e GROUP BY subj
         """,
+        "kg_records": (
+            f"SELECT url, name, contents, basic_info_json, catalog_json, "
+            f"paragraphs_json, references_json FROM read_parquet('{_G}/records.parquet')"
+        ),
+        "kg_page_graph_edges": f"""
+            SELECT DISTINCT url AS src_url,
+                   'https://baike.baidu.com' || split_part(href, '?', 1) AS dst_url,
+                   text
+            FROM read_parquet('{_G}/links_raw.parquet') WHERE href LIKE '/item/%'
+        """,
+        "kg_page_graph_nodes": f"""
+            WITH l AS (SELECT url,
+                              'https://baike.baidu.com' || split_part(href, '?', 1) AS link_url,
+                              text
+                       FROM read_parquet('{_G}/links_raw.parquet')
+                       WHERE href LIKE '/item/%'),
+                 allr AS (
+                   SELECT url, title AS name, 0 AS flag
+                   FROM read_parquet('{_G}/extracted.parquet')
+                   UNION ALL
+                   SELECT link_url AS url, text AS name, 1 AS flag FROM l)
+            SELECT url, name, CAST(is_placeholder AS BIGINT) AS is_placeholder FROM (
+                SELECT url, name, flag AS is_placeholder,
+                       row_number() OVER (PARTITION BY url ORDER BY flag, name) AS rn
+                FROM allr)
+            WHERE rn = 1
+        """,
         "media_meta": (
             f"SELECT url, octet_length(html)::BIGINT AS n_bytes, "
             f"md5(decode(html)) AS content_md5 FROM read_parquet('{_P}')"
@@ -373,6 +453,7 @@ def build_oracle_sql() -> dict[str, str]:
         "text_quality": f"""
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars,
+                   (length(text) // 2)::BIGINT AS est_tokens,
                    ({_NTOK.format(col='text')})::BIGINT AS n_tokens,
                    len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
                    CASE WHEN trim(text) = '' THEN 0 ELSE

@@ -151,3 +151,42 @@ def flatten_list_column(parsed: pa.Table, column: str, keep: list[str]) -> pa.Ta
         arrays.append(pc.struct_field(flat, field.name))
         names.append(field.name)
     return pa.table(dict(zip(names, arrays)))
+
+
+RECORDS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("name", pa.string()),
+        ("contents", pa.string()),
+        ("basic_info_json", pa.string()),
+        ("catalog_json", pa.string()),
+        ("paragraphs_json", pa.string()),
+        ("references_json", pa.string()),
+    ]
+)
+
+
+def extract_records_batch(batch: pa.Table) -> pa.Table:
+    """pages(url, html) → full ontology-record projection (the web-branch
+    record shape, constructor.py:121-131): name=title, contents=summary,
+    basic_info (insertion-ordered dict), catalog, raw paragraphs,
+    references — nested fields as JSON strings for a stable driver-compare
+    surface."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    out = {name: [] for name in RECORDS_SCHEMA.names}
+    for url, html_bytes in zip(urls, htmls):
+        html_text = html_bytes.decode("utf-8")
+        if is_verification_page(html_text):
+            continue
+        info = extract_page(html_text)
+        out["url"].append(url)
+        out["name"].append(info["title"])
+        out["contents"].append(info["summary"])
+        out["basic_info_json"].append(
+            json.dumps(dict(info["basic_info"]), ensure_ascii=False)
+        )
+        out["catalog_json"].append(json.dumps(info["catalog"], ensure_ascii=False))
+        out["paragraphs_json"].append(json.dumps(info["paragraphs"], ensure_ascii=False))
+        out["references_json"].append(json.dumps(info["references"], ensure_ascii=False))
+    return pa.Table.from_pydict(out, schema=RECORDS_SCHEMA)

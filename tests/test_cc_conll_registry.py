@@ -1,0 +1,82 @@
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from knowledgegraph__bh_ray.sources.conll import parse_conll_text, parse_ner_json_lines
+from knowledgegraph__bh_ray.stages.cc import (
+    connected_components_ds,
+    connected_components_pairs,
+)
+
+
+def test_cc_driver_reference():
+    pairs = pd.DataFrame({"id_a": ["a", "b", "x"], "id_b": ["b", "c", "y"]})
+    out = connected_components_pairs(pairs).set_index("node")["cluster"]
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["x"] == out["y"] == "x"
+
+
+def test_cc_distributed_matches_reference(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # random sparse pair set over 200 nodes
+    a = rng.integers(0, 200, 150)
+    b = rng.integers(0, 200, 150)
+    pairs = pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
+    pairs = pairs[pairs["id_a"] != pairs["id_b"]].drop_duplicates()
+    want = connected_components_pairs(pairs).sort_values("node").reset_index(drop=True)
+    got = (
+        connected_components_ds(rd.from_pandas(pairs))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(str), want.astype(str))
+
+
+CONLL = """中 B-LOC
+国 E-LOC
+很 O
+大 O
+
+你 O
+好 O
+"""
+
+
+def test_conll_parse():
+    rows = parse_conll_text(CONLL)
+    assert rows == [
+        {"text": "中国很大", "labels": ["B-LOC", "E-LOC", "O", "O"]},
+        {"text": "你好", "labels": ["O", "O"]},
+    ]
+
+
+def test_ner_json_parse():
+    rows = parse_ner_json_lines('{"text": "北京", "labels": ["B-LOC", "E-LOC"]}\n')
+    assert rows == [{"text": "北京", "labels": ["B-LOC", "E-LOC"]}]
+    rows2 = parse_ner_json_lines('[{"text": "a", "labels": ["O"]}]')
+    assert rows2 == [{"text": "a", "labels": ["O"]}]
+
+
+def test_registry_compose_and_validation():
+    from knowledgegraph__bh_ray import registry
+
+    assert {"extract_parse", "flatten_nodes", "flatten_triples"} <= set(registry.names())
+    fn = registry.compose(["extract_parse", "flatten_triples"])
+    assert callable(fn)
+    with pytest.raises(ValueError):
+        registry.compose(["flatten_nodes", "extract_parse"])  # column contract violated
+    with pytest.raises(KeyError):
+        registry.get("nope")
+
+
+def test_registry_pipeline_runs(ray_session, pages_small):
+    from knowledgegraph__bh_ray import registry
+    from knowledgegraph__bh_ray.sources import read_pages
+
+    fn = registry.compose(["extract_parse", "flatten_triples"])
+    out = fn(read_pages(pages_small, columns=["url", "html"]))
+    assert out.count() > 0
+    assert "subj" in out.schema().names

@@ -1,0 +1,107 @@
+import json
+
+import pandas as pd
+import pytest
+
+from knowledgegraph__bh_ray.exporters.graph_json import page_graph_to_json
+from knowledgegraph__bh_ray.exporters.neo4j_csv import edges_to_neo4j_csv, nodes_to_neo4j_csv
+from knowledgegraph__bh_ray.exporters.rdf import nodes_edges_to_jsonld, nodes_edges_to_ttl
+from knowledgegraph__bh_ray.functions.hashing import md5_id
+
+NODES = pd.DataFrame(
+    {
+        "id": [md5_id("机器学习"), md5_id("监督学习"), md5_id("张三")],
+        "name": ["机器学习", "监督学习", "张三"],
+        "type": ["概念", "类别", "人物"],
+        "parent": ["", md5_id("机器学习"), md5_id("机器学习")],
+        "props_json": ['{"描述": "ML"}', "{}", '{"级别": "3"}'],
+    }
+)
+EDGES = pd.DataFrame(
+    {
+        "subj": [md5_id("机器学习")],
+        "pred": ["包含"],
+        "obj": [md5_id("监督学习")],
+        "subj_name": ["机器学习"],
+        "obj_name": ["监督学习"],
+        "props_json": ['{"强度": "0.9"}'],
+    }
+)
+
+
+def test_neo4j_csv_layout():
+    csv_text = nodes_to_neo4j_csv(NODES)
+    lines = csv_text.strip().split("\r\n")
+    # md2csv.py:114 header: :ID,name,type,parent + sorted prop:LABEL columns
+    assert lines[0] == ":ID,name,type,parent,描述:LABEL,级别:LABEL"
+    assert lines[1].startswith(f"{md5_id('机器学习')},机器学习,概念,")
+
+    rel_text = edges_to_neo4j_csv(EDGES)
+    rlines = rel_text.strip().split("\r\n")
+    assert rlines[0] == ":START_ID,:END_ID,:TYPE,_o_source_,_o_target_,强度:LABEL"
+    assert rlines[1] == f"{md5_id('机器学习')},{md5_id('监督学习')},包含,机器学习,监督学习,0.9"
+
+
+def test_jsonld_semantics():
+    out = nodes_edges_to_jsonld(NODES, EDGES)
+    assert out[0]["@type"] == ["http://www.w3.org/2002/07/owl#Ontology"]
+    by_label = {e["http://www.w3.org/2000/01/rdf-schema#label"][0]: e for e in out[1:]}
+    ml = by_label["机器学习"]
+    assert ml["@type"] == ["http://www.w3.org/2002/07/owl#Class"]
+    assert ml["http://www.w3.org/2000/01/rdf-schema#comment"] == ["ML"]
+    # class child → subClassOf; individual child → rdf:type (csv2rdf-jsonld.py:69-73)
+    sup = by_label["监督学习"]
+    assert "http://www.w3.org/2000/01/rdf-schema#subClassOf" in sup
+    person = by_label["张三"]
+    assert person["@type"] == ["http://www.w3.org/2002/07/owl#NamedIndividual"]
+    assert "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" in person
+    # relation folded into subject entity as {"@id": ...}
+    pred = [k for k in ml if k.endswith("#包含")]
+    assert pred and ml[pred[0]][0]["@id"].endswith(md5_id("监督学习"))
+
+
+def test_jsonld_merge_on_load_dedups():
+    once = nodes_edges_to_jsonld(NODES, EDGES)
+    twice = nodes_edges_to_jsonld(NODES, EDGES, existing=once)
+    assert len(twice) == len(once)  # same @ids merged, no growth
+    ml = [e for e in twice if e.get("http://www.w3.org/2000/01/rdf-schema#label") == ["机器学习"]][0]
+    pred = [k for k in ml if k.endswith("#包含")][0]
+    assert len(ml[pred]) == 1  # relation list not duplicated
+
+
+def test_ttl_namespaces():
+    ttl = nodes_edges_to_ttl(NODES, EDGES)
+    # classes in ontology ns, individuals in data ns (csv2ttl.py:43-47)
+    assert f"ont:{md5_id('机器学习')} a owl:Class" in ttl
+    assert f"data:{md5_id('张三')} a owl:NamedIndividual" in ttl
+    assert "ont:包含 a owl:ObjectProperty" in ttl
+    assert f"ont:{md5_id('监督学习')} rdfs:subClassOf ont:{md5_id('机器学习')}" in ttl
+
+
+def test_page_graph_json_shape():
+    records = pd.DataFrame(
+        {
+            "url": ["u1", "u2"],
+            "name": ["页一", "页二"],
+            "contents": ["摘要一", "摘要二"],
+            "basic_info_json": ['{"中文名": "页一"}', "{}"],
+            "catalog_json": ['["简介"]', "[]"],
+            "paragraphs_json": ['["段落"]', "[]"],
+            "references_json": ["[]", "[]"],
+        }
+    )
+    nodes = pd.DataFrame({"url": ["u1", "u2", "u3"], "name": ["页一", "页二", "链接文本"],
+                          "is_placeholder": [0, 0, 1]})
+    edges = pd.DataFrame({"src_url": ["u1", "u1"], "dst_url": ["u2", "u3"],
+                          "text": ["页二", "链接文本"]})
+    graph = page_graph_to_json(records, nodes, edges)
+    assert len(graph) == 3
+    assert set(graph[0].keys()) == {
+        "name", "contents", "children", "parents", "URL",
+        "basic_info", "catalog", "content_paragraphs", "references",
+    }  # constructor.py:121-131 record keys
+    u1 = [g for g in graph if g["URL"] == "u1"][0]
+    assert {c["name"] for c in u1["children"]} == {"页二", "链接文本"}
+    u3 = [g for g in graph if g["URL"] == "u3"][0]
+    assert u3["parents"][0]["name"] == "页一"
+    assert u3["contents"] == ""  # placeholder has no crawled content
