@@ -218,3 +218,45 @@ def page_graph_nodes_ds(pages_path: str):
         )
 
     return hash_partitioned_agg(real.union(targets), ["url"], _merge)
+
+
+def node_parents_ds(source):
+    """Parent resolution self-join (ops J2/J3) — order-independent: the
+    reference resolves ``parent`` only when the parent row precedes the
+    child in file order (csv2owl.py:49-57); here it is a broadcast-map join
+    over the deduped nodes table (id → name), dangling parents → ''."""
+    import pyarrow as pa
+
+    nodes = nodes_ds(source).to_pandas()
+    name_of = dict(zip(nodes["id"], nodes["name"]))
+    nodes["parent_name"] = nodes["parent"].map(lambda p: name_of.get(p, "") if p else "")
+    out = nodes[["id", "name", "parent", "parent_name"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bfs_reachable(pages_path: str, start_url: str, max_depth: int = 2, max_nodes: int = 100):
+    """BFS frontier with depth/node caps (reference op T2,
+    constructor.py:135-159) over the page-link graph.  Control-flow op: the
+    edge table is computed distributed; the level loop runs on the driver
+    (at scale each frontier expansion is a Dataset semi-join per level).
+    Deterministic: frontier processed in sorted-url order per level."""
+    import pandas as pd
+
+    edges = page_graph_edges_ds(pages_path).to_pandas()
+    adj = edges.groupby("src_url")["dst_url"].apply(sorted).to_dict()
+
+    visited: dict[str, int] = {start_url: 0}
+    frontier = [start_url]
+    depth = 0
+    while frontier and depth < max_depth and len(visited) < max_nodes:
+        nxt = []
+        for u in sorted(frontier):
+            for v in adj.get(u, []):
+                if v not in visited and len(visited) < max_nodes:
+                    visited[v] = depth + 1
+                    nxt.append(v)
+        frontier = nxt
+        depth += 1
+    out = pd.DataFrame({"url": list(visited), "depth": list(visited.values())})
+    out["depth"] = out["depth"].astype("int64")
+    return out.sort_values(["depth", "url"]).reset_index(drop=True)

@@ -107,10 +107,11 @@ def run_kg_pipeline(
 
             mask = pc.is_in(batch.column("shard"), value_set=pa.array(list(shard_set), pa.int32()))
             sub = batch.filter(mask)
-            n_in = sub.num_rows
-            parsed = kg.extract_parse_batch(sub.select(["url", "html"]))
-            counter.incr.remote("pages_in", n_in)
-            counter.incr.remote("pages_dropped_verification", n_in - parsed.num_rows)
+            stats: dict = {}
+            parsed = kg.extract_parse_batch(sub.select(["url", "html"]), stats=stats)
+            counter.incr.remote("pages_in", sub.num_rows)
+            for k, v in stats.items():
+                counter.incr.remote(k, v)
             return _add_shard(parsed, num_shards)
 
         ds = pages.map_batches(

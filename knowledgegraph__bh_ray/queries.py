@@ -137,6 +137,17 @@ def q_kg_mentions(sf_dir: str):
     return ner.mentions_ds(kg.extracted_ds(pages), (names, types))
 
 
+def q_kg_node_parents(sf_dir: str):
+    return kg.node_parents_ds(_prep(sf_dir))
+
+
+def q_kg_bfs(sf_dir: str):
+    import os as _os
+
+    start = "https://baike.baidu.com/item/doc0/0"
+    return kg.bfs_reachable(_prep(sf_dir), start, max_depth=2, max_nodes=100)
+
+
 def q_kg_records(sf_dir: str):
     from .stages.extract import extract_records_batch
 
@@ -291,6 +302,8 @@ QUERIES = {
     "kg_degree": q_kg_degree,
     "kg_mentions": q_kg_mentions,
     "kg_records": q_kg_records,
+    "kg_node_parents": q_kg_node_parents,
+    "kg_bfs": q_kg_bfs,
     "kg_page_graph_nodes": q_kg_page_graph_nodes,
     "kg_page_graph_edges": q_kg_page_graph_edges,
     "kg_chunks": q_kg_chunks,
@@ -394,6 +407,13 @@ def build_oracle_sql() -> dict[str, str]:
             WITH e AS ({_EDGES})
             SELECT subj, count(*) AS n_out, sum(weight)::BIGINT AS total_weight
             FROM e GROUP BY subj
+        """,
+        "kg_node_parents": f"""
+            WITH n AS (SELECT id, arg_min(name, seq) AS name,
+                              arg_min(parent, seq) AS parent
+                       FROM read_parquet('{_G}/nodes_raw.parquet') GROUP BY id)
+            SELECT c.id, c.name, c.parent, coalesce(p.name, '') AS parent_name
+            FROM n c LEFT JOIN n p ON c.parent = p.id
         """,
         "kg_records": (
             f"SELECT url, name, contents, basic_info_json, catalog_json, "

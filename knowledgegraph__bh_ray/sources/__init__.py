@@ -19,3 +19,17 @@ def read_pages(pages_path: str, columns: list[str] | None = None):
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
     """One of the driver's testdata tables (documents, embeddings, lineitem…)."""
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def read_csv(path: str, columns: list[str] | None = None):
+    """CSV reader (reference op S7 — csv.DictReader full-file loops become
+    parallel block reads)."""
+    ds = rd.read_csv(path)
+    return ds.select_columns(columns) if columns else ds
+
+
+def train_val_split(ds, val_frac: float = 0.2, seed: int = 42):
+    """Seeded random train/val split (reference op T5, seed 42 —
+    bilstm_crf_ner.py:41-49, 739-749)."""
+    shuffled = ds.random_shuffle(seed=seed)
+    return shuffled.train_test_split(test_size=val_frac)

@@ -71,18 +71,36 @@ PARSED_SCHEMA = pa.schema(
 )
 
 
-def extract_parse_batch(batch: pa.Table) -> pa.Table:
-    """pages(url, html) → parsed page records (PARSED_SCHEMA)."""
+def extract_parse_batch(batch: pa.Table, stats: dict | None = None) -> pa.Table:
+    """pages(url, html) → parsed page records (PARSED_SCHEMA).
+
+    Per-row skip-bad-record policy (SURVEY.md §4): undecodable or
+    unparseable pages are quarantined (counted in ``stats`` — fed to the
+    lineage counters by the pipeline runner) instead of failing the task."""
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
 
     out = {name: [] for name in PARSED_SCHEMA.names}
 
     for url, html_bytes in zip(urls, htmls):
-        html_text = html_bytes.decode("utf-8")
-        if is_verification_page(html_text):
+        try:
+            html_text = html_bytes.decode("utf-8")
+        except UnicodeDecodeError:
+            if stats is not None:
+                stats["pages_failed_decode"] = stats.get("pages_failed_decode", 0) + 1
             continue
-        info = extract_page(html_text)
+        if is_verification_page(html_text):
+            if stats is not None:
+                stats["pages_dropped_verification"] = (
+                    stats.get("pages_dropped_verification", 0) + 1
+                )
+            continue
+        try:
+            info = extract_page(html_text)
+        except Exception:  # noqa: BLE001 — quarantine, never poison the task
+            if stats is not None:
+                stats["pages_failed_parse"] = stats.get("pages_failed_parse", 0) + 1
+            continue
         paras = [normalize_paragraph(p) for p in info["paragraphs"]]
         parsed = parse_doc_lines(paras)
 

@@ -1,0 +1,94 @@
+import pyarrow as pa
+import pytest
+
+from knowledgegraph__bh_ray.functions.budget import estimate_tokens, truncate_to_budget
+from knowledgegraph__bh_ray.functions.metrics import tag_prf, triple_prf
+from knowledgegraph__bh_ray.functions.prompt import (
+    StructurerSlot,
+    assemble_prompt,
+    rolling_history,
+)
+from knowledgegraph__bh_ray.stages.extract import extract_parse_batch
+
+
+def test_triple_prf():
+    pred = {("a", "r", "b"), ("a", "r", "c")}
+    gold = {("a", "r", "b"), ("x", "r", "y")}
+    m = triple_prf(pred, gold)
+    assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["tp"] == 1
+
+
+def test_tag_prf_perfect_and_partial():
+    y = ["B-LOC", "E-LOC", "O", "S-PER"]
+    assert tag_prf(y, y)["f1"] == pytest.approx(1.0)
+    m = tag_prf(y, ["B-LOC", "O", "O", "S-PER"])
+    assert 0 < m["f1"] < 1
+
+
+def test_budget_truncation():
+    items = ["a" * 100, "b" * 10, "c" * 50]
+    kept, dropped = truncate_to_budget(items, budget=40)
+    assert dropped[0] == "a" * 100  # largest removed first
+    assert kept == ["b" * 10, "c" * 50]
+    assert sum(estimate_tokens(t) for t in kept) <= 40
+    assert estimate_tokens("xy") == 1
+
+
+def test_prompt_assembly():
+    p = assemble_prompt("TPL", "DATA")
+    assert p.startswith("TPL") and p.endswith("DATA")
+    ctx = assemble_prompt("TPL", "DATA", context_mode=True)
+    assert ctx == {"system": "TPL", "user_data": "DATA"}
+    hist = [{"role": "system"}] + [{"role": "user", "i": i} for i in range(10)]
+    rolled = rolling_history(hist, keep_turns=5)
+    assert len(rolled) == 5 and rolled[0]["role"] == "system"
+    assert rolled[-1] == hist[-1]
+
+
+def test_structurer_slot_batch():
+    import pandas as pd
+
+    slot = StructurerSlot(model_fn=lambda c: c.upper())
+    out = slot(pd.DataFrame({"chunk": ["ab", "cd"]}))
+    assert list(out["structured_md"]) == ["AB", "CD"]
+
+
+def test_extract_quarantines_bad_rows():
+    batch = pa.table(
+        {
+            "url": ["u1", "u2", "u3"],
+            "html": [
+                b"\xff\xfe\x00bad-not-utf8\x80",
+                "<html><body><h1 class=\"lemmaTitle_x\">ok</h1></body></html>".encode(),
+                "百度安全验证".encode(),
+            ],
+        }
+    )
+    stats: dict = {}
+    out = extract_parse_batch(batch, stats=stats)
+    assert out.num_rows == 1
+    assert stats["pages_failed_decode"] == 1
+    assert stats["pages_dropped_verification"] == 1
+
+
+def test_bfs_caps(ray_session, pages_small):
+    from knowledgegraph__bh_ray.pipelines import kg
+
+    out = kg.bfs_reachable(pages_small, "https://baike.baidu.com/item/doc0/0",
+                           max_depth=1, max_nodes=3)
+    assert len(out) <= 3
+    assert out["depth"].max() <= 1
+    assert (out["depth"] == 0).sum() == 1
+
+
+def test_train_val_split(ray_session):
+    import ray.data as rd
+
+    from knowledgegraph__bh_ray.sources import train_val_split
+
+    ds = rd.range(100)
+    train, val = train_val_split(ds, val_frac=0.2, seed=42)
+    assert train.count() == 80 and val.count() == 20
+    # seeded → deterministic
+    train2, val2 = train_val_split(rd.range(100), val_frac=0.2, seed=42)
+    assert sorted(r["id"] for r in val.take_all()) == sorted(r["id"] for r in val2.take_all())
