@@ -366,6 +366,10 @@ _EDGES = f"""
 
 
 def build_oracle_sql() -> dict[str, str]:
+    # whatever order the driver runs things in, the /tmp inputs the SQL
+    # points at must exist by the time DuckDB runs
+    if os.path.isdir(SF_CORRECTNESS):
+        _prep(SF_CORRECTNESS)
     return {
         "kg_extract": (
             f"SELECT url, title, summary, text_out, n_paras "
