@@ -50,6 +50,24 @@ def _read_small(d: str, columns=None) -> "pd.DataFrame":
     return pq.read_table(d, columns=columns).to_pandas()
 
 
+def _write_adjacency(edges_ds, out_dir: str, n_buckets: int = 16) -> None:
+    """Sorted, subj-bucketed Parquet adjacency layout (north-star
+    materialization): rows sorted by subj, partition dirs by
+    ``subj_bucket = stable_hash(subj) % n_buckets`` — a reader doing
+    per-entity adjacency lookups prunes to one bucket dir and one sorted
+    range."""
+    from ..functions.hashing import bucket_of
+
+    def _bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["subj_bucket"] = [bucket_of(s, n_buckets) for s in out["subj"]]
+        return out
+
+    edges_ds.map_batches(_bucket, batch_format="pandas").sort("subj").write_parquet(
+        out_dir, partition_cols=["subj_bucket"]
+    )
+
+
 def _add_shard(batch: pa.Table, num_shards: int) -> pa.Table:
     shards = pa.array(
         [bucket_of(u, num_shards) for u in batch.column("url").to_pylist()], pa.int32()
@@ -154,7 +172,7 @@ def run_kg_pipeline(
         manifest.clean_unit_dir(edges_dir)
         node_ids = frozenset(_read_small(nodes_dir, ["id"])["id"])
         edges = kg.edges_ds(_parsed(columns=["url", "triples"]), node_ids=node_ids)
-        edges.write_parquet(edges_dir)
+        _write_adjacency(edges, edges_dir)
         manifest.mark_done("edges", _dir_rows(edges_dir), wall_sec=time.time() - t0)
         _checkpoint_gate()
 
@@ -183,7 +201,7 @@ def run_kg_pipeline(
             )
         }
         ecanon = kg.edges_canonical_ds(_parsed(columns=["url", "triples"]), canon_map=canon_map)
-        ecanon.write_parquet(ecanon_dir)
+        _write_adjacency(ecanon, ecanon_dir)
         manifest.mark_done("canonical", _dir_rows(ecanon_dir), wall_sec=time.time() - t0)
         _checkpoint_gate()
 

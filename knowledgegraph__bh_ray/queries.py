@@ -284,6 +284,15 @@ def q_embed_concepts(sf_dir: str):
     return embed.embed_ds(nodes, "name")
 
 
+def q_embed_relations(sf_dir: str):
+    """Relation-phrase embeddings (embedding_generator.py:50-67): phrase =
+    "{subj_name} {pred} {obj_name}", encoded by the actor pool."""
+    edges = kg.edges_ds(_prep(sf_dir)).map_batches(
+        embed.relation_phrase_batch, batch_format="pandas"
+    )
+    return embed.embed_ds(edges, "phrase")
+
+
 def q_rag_topk(sf_dir: str):
     nodes = kg.nodes_ds(_prep(sf_dir)).select_columns(["id", "name"])
     embedded = embed.embed_ds(nodes, "name")
@@ -326,6 +335,7 @@ QUERIES = {
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
     "embed_concepts": q_embed_concepts,
+    "embed_relations": q_embed_relations,
     "rag_topk": q_rag_topk,
 }
 

@@ -35,13 +35,27 @@ _A = _rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 _B = _rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)
+
+
 def _word_shingles(text: str, n: int = 3) -> np.ndarray:
+    """Hashed word n-gram shingle set — tokens hashed once (md5), n-gram
+    hashes composed arithmetically with a vectorized rolling polynomial
+    (no per-shingle string building/hashing)."""
     toks = RE_WS.split(text.strip()) if text.strip() else []
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    return np.unique(np.array([stable_u64(g) % _MERSENNE for g in grams], dtype=np.uint64))
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    tok_h = np.array([stable_u64(t) for t in toks], dtype=np.uint64)
+    if len(tok_h) < n:
+        acc = np.uint64(0)
+        for h in tok_h:
+            acc = acc * _SHINGLE_BASE + h
+        return np.array([acc % _MERSENNE], dtype=np.uint64)
+    m = len(tok_h) - n + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        acc = acc * _SHINGLE_BASE + tok_h[j : j + m]
+    return np.unique(acc % _MERSENNE)
 
 
 def minhash_signature(text: str) -> np.ndarray:

@@ -92,3 +92,18 @@ def rag_topk(ds_embedded, query_text: str, text_col: str, k: int = 5) -> pd.Data
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def format_rag_context(concepts: pd.DataFrame, relations: pd.DataFrame) -> str:
+    """Retrieved-context formatting (rag_query.py:137-158 layout): ranked
+    concept then relation sections with similarity scores."""
+    parts = []
+    if len(concepts):
+        parts.append("相关概念：")
+        for _, r in concepts.iterrows():
+            parts.append(f"- {r[concepts.columns[0]]} (相似度: {r['similarity']:.4f})")
+    if len(relations):
+        parts.append("\n相关关系：")
+        for _, r in relations.iterrows():
+            parts.append(f"- {r[relations.columns[0]]} (相似度: {r['similarity']:.4f})")
+    return "\n".join(parts)
