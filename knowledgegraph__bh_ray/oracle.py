@@ -202,6 +202,29 @@ def seq_key(url: str, idx: int) -> str:
     return f"{url}#{idx:06d}"
 
 
+def oracle_tag_mentions(text: str, names_by_len: list[str], name_set: set[str]) -> list[dict]:
+    """Independent gazetteer tagger: at each position try candidate lengths
+    longest-first against a hash set (maximum forward matching) — same
+    leftmost-longest semantics as the engine's length-ordered regex
+    alternation, different implementation."""
+    lengths = sorted({len(n) for n in name_set}, reverse=True)
+    out = []
+    i = 0
+    n = len(text)
+    while i < n:
+        hit = None
+        for L in lengths:
+            if i + L <= n and text[i : i + L] in name_set:
+                hit = L
+                break
+        if hit is None:
+            i += 1
+        else:
+            out.append({"entity": text[i : i + hit], "start": i, "end": i + hit})
+            i += hit
+    return out
+
+
 def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
     """Run the full single-process pipeline over a pages table."""
     urls = pages_table.column("url").to_pylist()
@@ -215,6 +238,9 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
                  "parent": [], "props_json": []}
     triple_rows = {"url": [], "seq": [], "subj": [], "pred": [], "obj": [],
                    "subj_name": [], "obj_name": [], "props_json": []}
+    mention_rows = {"url": [], "para_idx": [], "entity": [], "etype": [],
+                    "start": [], "end": []}
+    docs = []  # (url, paras) for the mention pass (needs the global gazetteer)
 
     for url, html_bytes in zip(urls, htmls):
         info = oracle_extract(html_bytes.decode("utf-8"))
@@ -244,6 +270,7 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
             link_rows["text"].append(text)
             link_rows["href"].append(href)
 
+        docs.append((url, paras))
         parsed = parse_doc_lines(paras)
         for c in parsed.concepts.values():
             node_rows["url"].append(url)
@@ -263,13 +290,29 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
             triple_rows["obj_name"].append(r["obj_name"])
             triple_rows["props_json"].append(json.dumps(r["props"], ensure_ascii=False, sort_keys=True))
 
+    # mention pass: gazetteer = all distinct node names (global vocabulary)
+    name_set = set(node_rows["name"])
+    names_by_len = sorted(name_set, key=lambda x: (-len(x), x))
+    for url, paras in docs:
+        for pi, para in enumerate(paras):
+            for m in oracle_tag_mentions(para, names_by_len, name_set):
+                mention_rows["url"].append(url)
+                mention_rows["para_idx"].append(pi)
+                mention_rows["entity"].append(m["entity"])
+                mention_rows["etype"].append("CONCEPT")
+                mention_rows["start"].append(m["start"])
+                mention_rows["end"].append(m["end"])
+
     ext_rows["n_paras"] = pa.array(ext_rows["n_paras"], pa.int64())
+    for c in ("para_idx", "start", "end"):
+        mention_rows[c] = pa.array(mention_rows[c], pa.int64())
     return {
         "extracted": pa.table(ext_rows),
         "records": pa.table(rec_rows),
         "links_raw": pa.table(link_rows),
         "nodes_raw": pa.table(node_rows),
         "triples_raw": pa.table(triple_rows),
+        "mentions": pa.table(mention_rows),
     }
 
 
@@ -277,7 +320,7 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
 # Golden-file cache
 # ---------------------------------------------------------------------------
 
-GOLDEN_TABLES = ("extracted", "records", "links_raw", "nodes_raw", "triples_raw")
+GOLDEN_TABLES = ("extracted", "records", "links_raw", "nodes_raw", "triples_raw", "mentions")
 
 
 def golden_dir(sf_dir: str, root: str = GOLDEN_ROOT) -> str:

@@ -137,6 +137,25 @@ def q_kg_mentions(sf_dir: str):
     return ner.mentions_ds(kg.extracted_ds(pages), (names, types))
 
 
+def q_kg_extract_zh(sf_dir: str):
+    """Predicate-pushdown demo: row filter + column pruning at the read —
+    only zh rows' url+html columns leave storage."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .pipelines.kg import EXTRACT_BATCH_SIZE
+    from .stages.extract import extract_text_batch
+
+    pages = rd.read_parquet(
+        _prep(sf_dir),
+        columns=["url", "html"],
+        filter=(pc.field("lang") == "zh"),  # row-group/row pushdown
+    )
+    return pages.map_batches(
+        extract_text_batch, batch_format="pyarrow", batch_size=EXTRACT_BATCH_SIZE
+    )
+
+
 def q_kg_node_parents(sf_dir: str):
     return kg.node_parents_ds(_prep(sf_dir))
 
@@ -312,6 +331,7 @@ QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_records": q_kg_records,
     "kg_node_parents": q_kg_node_parents,
+    "kg_extract_zh": q_kg_extract_zh,
     "kg_bfs": q_kg_bfs,
     "kg_page_graph_nodes": q_kg_page_graph_nodes,
     "kg_page_graph_edges": q_kg_page_graph_edges,
@@ -421,6 +441,12 @@ def build_oracle_sql() -> dict[str, str]:
             WITH e AS ({_EDGES})
             SELECT subj, count(*) AS n_out, sum(weight)::BIGINT AS total_weight
             FROM e GROUP BY subj
+        """,
+        "kg_extract_zh": f"""
+            SELECT e.url, e.title, e.summary, e.text_out, e.n_paras
+            FROM read_parquet('{_G}/extracted.parquet') e
+            JOIN read_parquet('{_P}') p ON e.url = p.url
+            WHERE p.lang = 'zh'
         """,
         "kg_node_parents": f"""
             WITH n AS (SELECT id, arg_min(name, seq) AS name,
@@ -565,8 +591,12 @@ def build_oracle_sql() -> dict[str, str]:
                 FROM embeddings e, q)
             WHERE rank <= 10
         """,
+        "kg_mentions": (
+            f'SELECT url, para_idx, entity, etype, "start", "end" '
+            f"FROM read_parquet('{_G}/mentions.parquet')"
+        ),
         # dedup_minhash / dedup_simhash / doc_fingerprint / simsearch_lsh /
-        # kg_mentions / embed_concepts / rag_topk: not SQL-expressible
+        # embed_concepts / rag_topk: not SQL-expressible
         # (signature/sketch/model ops) → rows-only check; their semantics are
         # pytest-verified against brute-force references.
     }
