@@ -137,6 +137,36 @@ def q_kg_mentions(sf_dir: str):
     return ner.mentions_ds(kg.extracted_ds(pages), (names, types))
 
 
+def q_kg_stats(sf_dir: str):
+    """Run-level graph statistics (reference op G8 counters) computed
+    distributed: one aggregate pass per table."""
+    pages = _prep(sf_dir)
+    parsed = kg.parsed_ds(pages)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_pages": [np.int64(len(batch))],
+                "n_node_occurrences": [np.int64(batch["nodes"].map(len).sum())],
+                "n_triple_occurrences": [np.int64(batch["triples"].map(len).sum())],
+                "n_links": [np.int64(batch["links"].map(len).sum())],
+            }
+        )
+
+    totals = (
+        parsed.map_batches(_partial, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(_k=np.int64(0)), batch_format="pandas"
+        )
+        .groupby("_k")
+        .map_groups(
+            lambda g: g.drop(columns=["_k"]).sum().to_frame().T.astype("int64"),
+            batch_format="pandas",
+        )
+    )
+    return totals
+
+
 def q_kg_extract_zh(sf_dir: str):
     """Predicate-pushdown demo: row filter + column pruning at the read —
     only zh rows' url+html columns leave storage."""
@@ -332,6 +362,7 @@ QUERIES = {
     "kg_records": q_kg_records,
     "kg_node_parents": q_kg_node_parents,
     "kg_extract_zh": q_kg_extract_zh,
+    "kg_stats": q_kg_stats,
     "kg_bfs": q_kg_bfs,
     "kg_page_graph_nodes": q_kg_page_graph_nodes,
     "kg_page_graph_edges": q_kg_page_graph_edges,
@@ -441,6 +472,13 @@ def build_oracle_sql() -> dict[str, str]:
             WITH e AS ({_EDGES})
             SELECT subj, count(*) AS n_out, sum(weight)::BIGINT AS total_weight
             FROM e GROUP BY subj
+        """,
+        "kg_stats": f"""
+            SELECT (SELECT count(*) FROM read_parquet('{_G}/extracted.parquet'))::BIGINT AS n_pages,
+                   (SELECT count(*) FROM read_parquet('{_G}/nodes_raw.parquet'))::BIGINT AS n_node_occurrences,
+                   (SELECT count(*) FROM read_parquet('{_G}/triples_raw.parquet'))::BIGINT AS n_triple_occurrences,
+                   (SELECT count(*) FROM read_parquet('{_G}/links_raw.parquet')
+                    WHERE href LIKE '/item/%')::BIGINT AS n_links
         """,
         "kg_extract_zh": f"""
             SELECT e.url, e.title, e.summary, e.text_out, e.n_paras
