@@ -321,6 +321,7 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
 # ---------------------------------------------------------------------------
 
 GOLDEN_TABLES = ("extracted", "records", "links_raw", "nodes_raw", "triples_raw", "mentions")
+GOLDEN_VERSION = "2"  # bump when oracle semantics change → stale /tmp caches regenerate
 
 
 def golden_dir(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
@@ -330,7 +331,11 @@ def golden_dir(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 def ensure_golden(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     """Generate (once, atomically) the golden tables for an sf dir."""
     gdir = golden_dir(sf_dir, root)
-    if all(os.path.exists(os.path.join(gdir, f"{t}.parquet")) for t in GOLDEN_TABLES):
+    vfile = os.path.join(gdir, "VERSION")
+    version_ok = os.path.exists(vfile) and open(vfile).read().strip() == GOLDEN_VERSION
+    if version_ok and all(
+        os.path.exists(os.path.join(gdir, f"{t}.parquet")) for t in GOLDEN_TABLES
+    ):
         return gdir
     os.makedirs(gdir, exist_ok=True)
     pages = pq.read_table(ensure_pages(sf_dir))
@@ -345,4 +350,6 @@ def ensure_golden(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
         finally:
             if os.path.exists(tmp):
                 os.remove(tmp)
+    with open(os.path.join(gdir, "VERSION"), "w") as f:
+        f.write(GOLDEN_VERSION)
     return gdir

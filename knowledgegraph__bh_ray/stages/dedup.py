@@ -45,7 +45,9 @@ def _word_shingles(text: str, n: int = 3) -> np.ndarray:
     toks = RE_WS.split(text.strip()) if text.strip() else []
     if not toks:
         return np.zeros(0, dtype=np.uint64)
-    tok_h = np.array([stable_u64(t) for t in toks], dtype=np.uint64)
+    # vectorized token hashing (pandas siphash, fixed key → deterministic
+    # across processes; C speed vs per-token md5)
+    tok_h = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
     if len(tok_h) < n:
         acc = np.uint64(0)
         for h in tok_h:
@@ -157,12 +159,10 @@ def simhash64(text: str) -> int:
     toks = RE_WS.split(text.strip()) if text.strip() else []
     if not toks:
         return 0
-    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
     shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-    for t in toks:
-        h = np.uint64(stable_u64(t))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
+    tok_h = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+    bits = ((tok_h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
     out = 0
     for i in range(SIMHASH_BITS):
         if acc[i] > 0:
