@@ -162,6 +162,13 @@ def oracle_extract(html_text: str) -> dict | None:
 
     paragraphs = [t for t in (p.text().strip() for p in dom.find_all("p", "para_WzwJ3")) if t]
 
+    links_all: list[tuple[str, str]] = []
+    for a in dom.find_all("a"):
+        text = a.text().strip()
+        href = a.attrs.get("href", "")
+        if text and href:  # M2 — nonempty text and url (knowledge_extractor.py:31-35)
+            links_all.append((text, href))
+
     links_raw: list[tuple[str, str]] = []
     main = dom.find("div", "mainContent_")
     if main:
@@ -194,6 +201,7 @@ def oracle_extract(html_text: str) -> dict | None:
         "catalog": catalog,
         "paragraphs": paragraphs,
         "links_raw": links_raw,
+        "links_all": links_all,
         "references": references,
     }
 
@@ -234,6 +242,7 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
     rec_rows = {"url": [], "name": [], "contents": [], "basic_info_json": [],
                 "catalog_json": [], "paragraphs_json": [], "references_json": []}
     link_rows = {"url": [], "text": [], "href": []}
+    link_all_rows = {"url": [], "text": [], "href": []}
     node_rows = {"url": [], "seq": [], "id": [], "name": [], "type": [],
                  "parent": [], "props_json": []}
     triple_rows = {"url": [], "seq": [], "subj": [], "pred": [], "obj": [],
@@ -269,6 +278,10 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
             link_rows["url"].append(url)
             link_rows["text"].append(text)
             link_rows["href"].append(href)
+        for text, href in info["links_all"]:
+            link_all_rows["url"].append(url)
+            link_all_rows["text"].append(text)
+            link_all_rows["href"].append(href)
 
         docs.append((url, paras))
         parsed = parse_doc_lines(paras)
@@ -310,6 +323,7 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
         "extracted": pa.table(ext_rows),
         "records": pa.table(rec_rows),
         "links_raw": pa.table(link_rows),
+        "links_all": pa.table(link_all_rows),
         "nodes_raw": pa.table(node_rows),
         "triples_raw": pa.table(triple_rows),
         "mentions": pa.table(mention_rows),
@@ -320,8 +334,8 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
 # Golden-file cache
 # ---------------------------------------------------------------------------
 
-GOLDEN_TABLES = ("extracted", "records", "links_raw", "nodes_raw", "triples_raw", "mentions")
-GOLDEN_VERSION = "2"  # bump when oracle semantics change → stale /tmp caches regenerate
+GOLDEN_TABLES = ("extracted", "records", "links_raw", "links_all", "nodes_raw", "triples_raw", "mentions")
+GOLDEN_VERSION = "3"  # bump when oracle semantics change → stale /tmp caches regenerate
 
 
 def golden_dir(sf_dir: str, root: str = GOLDEN_ROOT) -> str:

@@ -186,6 +186,34 @@ def q_kg_extract_zh(sf_dir: str):
     )
 
 
+def q_kg_links_all(sf_dir: str):
+    """M2 — every anchor with nonempty text+href, page-wide."""
+    from .functions.htmlparse import extract_page, is_verification_page
+
+    def _batch(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"url": [], "text": [], "href": []}
+        for url, html in zip(batch["url"], batch["html"]):
+            h = html.decode("utf-8")
+            if is_verification_page(h):
+                continue
+            for l in extract_page(h)["links_all"]:
+                out["url"].append(url)
+                out["text"].append(l["text"])
+                out["href"].append(l["url"])
+        return pd.DataFrame(out)
+
+    return read_pages(_prep(sf_dir), columns=["url", "html"]).map_batches(
+        _batch, batch_format="pandas"
+    )
+
+
+def q_kg_mentions_pattern(sf_dir: str):
+    """Rule-pattern mention detector (the second tagger of the DAG)."""
+    from .stages.ner import pattern_mentions_ds
+
+    return pattern_mentions_ds(kg.extracted_ds(_prep(sf_dir)))
+
+
 def q_kg_node_parents(sf_dir: str):
     return kg.node_parents_ds(_prep(sf_dir))
 
@@ -361,6 +389,8 @@ QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_records": q_kg_records,
     "kg_node_parents": q_kg_node_parents,
+    "kg_links_all": q_kg_links_all,
+    "kg_mentions_pattern": q_kg_mentions_pattern,
     "kg_extract_zh": q_kg_extract_zh,
     "kg_stats": q_kg_stats,
     "kg_bfs": q_kg_bfs,
@@ -486,6 +516,9 @@ def build_oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{_P}') p ON e.url = p.url
             WHERE p.lang = 'zh'
         """,
+        "kg_links_all": (
+            f"SELECT url, text, href FROM read_parquet('{_G}/links_all.parquet')"
+        ),
         "kg_node_parents": f"""
             WITH n AS (SELECT id, arg_min(name, seq) AS name,
                               arg_min(parent, seq) AS parent

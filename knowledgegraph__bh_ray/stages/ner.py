@@ -112,3 +112,61 @@ def mentions_ds(extracted, gazetteer: tuple[list[str], list[str]], concurrency=(
         batch_size=64,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Pattern tagger — the second mention detector of the north-star DAG
+# ---------------------------------------------------------------------------
+
+PATTERN_RULES: list[tuple[str, str]] = [
+    ("TITLE", r"《[^《》]{1,30}》"),            # bracketed work titles
+    ("IDENT", r"(?:Entity|实体)\d+"),          # entity identifiers
+    ("DATE", r"\d{4}-\d{2}-\d{2}"),          # ISO dates
+    ("NUMBER", r"\d+\.\d+"),                 # decimal quantities
+]
+
+
+class PatternTagger:
+    """Actor-pool rule-based mention detector (the 'dependency/pattern
+    tagger' stage alongside the model slot): typed regex rules compiled
+    once per actor; leftmost-longest non-overlapping resolution across
+    rules via a combined alternation with named groups; BIOES round-trip
+    like the model path."""
+
+    def __init__(self, rules: list[tuple[str, str]] | None = None):
+        rules = rules or PATTERN_RULES
+        self.pattern = re.compile("|".join(f"(?P<{t}>{p})" for t, p in rules))
+
+    def tag(self, text: str) -> list[dict]:
+        spans = [(m.start(), m.end(), m.lastgroup) for m in self.pattern.finditer(text)]
+        labels = encode_bioes(text, spans)
+        entities = decode_bioes(text, labels)
+        out = []
+        pos = 0
+        for entity, etype in entities:
+            start = text.find(entity, pos)
+            out.append({"entity": entity, "etype": etype, "start": start, "end": start + len(entity)})
+            pos = start + len(entity)
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"url": [], "para_idx": [], "entity": [], "etype": [], "start": [], "end": []}
+        for url, text in zip(batch["url"], batch["text_out"]):
+            for pi, para in enumerate(text.split("\n")):
+                for m in self.tag(para):
+                    out["url"].append(url)
+                    out["para_idx"].append(pi)
+                    out["entity"].append(m["entity"])
+                    out["etype"].append(m["etype"])
+                    out["start"].append(m["start"])
+                    out["end"].append(m["end"])
+        df = pd.DataFrame(out)
+        for c in ("para_idx", "start", "end"):
+            df[c] = df[c].astype("int64")
+        return df
+
+
+def pattern_mentions_ds(extracted, concurrency=(1, 4)):
+    return extracted.map_batches(
+        PatternTagger, batch_format="pandas", batch_size=64, concurrency=concurrency
+    )
