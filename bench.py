@@ -167,14 +167,24 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # best-of-2 per level: this box has ±30% co-tenant noise (PERF.md), and
+    # contention hits the 32-CPU run harder — min per level is the
+    # reproducible capability number; all raw times are reported
     lo, hi = 8, 32
-    r_lo, r_hi = run_at(lo), run_at(hi)
+    runs_lo = [run_at(lo)]
+    runs_hi = [run_at(hi)]
+    runs_lo.append(run_at(lo))
+    runs_hi.append(run_at(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling",
         "cpus": [lo, hi],
         "sec": [t_lo, t_hi],
+        "raw_sec": {str(lo): [r["value"] for r in runs_lo],
+                    str(hi): [r["value"] for r in runs_hi]},
         "pages_per_sec": [r_lo["pages_per_sec"], r_hi["pages_per_sec"]],
         "triples_per_sec": [r_lo["triples_per_sec"], r_hi["triples_per_sec"]],
         "speedup": round(t_lo / t_hi, 3),

@@ -102,19 +102,34 @@ def _node_id_set(source) -> frozenset:
     return frozenset(ids)
 
 
-def edges_ds(source, node_ids: frozenset | None = None, salt_buckets: int = 16):
+def edges_ds(source, node_ids: frozenset | None = None, salt_buckets: int = 16,
+             use_bloom: bool = False):
     """Triple dedup + graph materialization (G2/G6): drop dangling endpoints
     (reference policy J1: both endpoints must be known concepts), then
     groupby (subj, pred, obj) → weight = occurrence count, representative
-    names/props = global keep-first by seq."""
+    names/props = global keep-first by seq.
+
+    ``use_bloom``: ship a Bloom filter of the id set ahead of the exact set
+    (the Ray-guide semi-join scale path — bits instead of strings when the
+    vocabulary is heavy to broadcast); the exact set still verifies the
+    bloom survivors, so the output is identical either way (tested)."""
     import ray
+
+    from ..functions.bloom import BloomFilter
 
     triples = triples_raw_ds(source)
     if node_ids is None:
         node_ids = _node_id_set(source)
     ids_ref = ray.put(node_ids)
+    bloom_ref = ray.put(BloomFilter.build(node_ids) if use_bloom else None)
 
     def _drop_dangling(batch: pd.DataFrame) -> pd.DataFrame:
+        bloom = ray.get(bloom_ref)
+        if bloom is not None:
+            m0 = batch["subj"].map(lambda x: x in bloom) & batch["obj"].map(
+                lambda x: x in bloom
+            )
+            batch = batch[m0]
         ids = ray.get(ids_ref)
         m = batch["subj"].isin(ids) & batch["obj"].isin(ids)
         return batch[m].reset_index(drop=True)
