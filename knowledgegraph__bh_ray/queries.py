@@ -341,6 +341,11 @@ def q_dedup_embedding(sf_dir: str):
     return dedup.embedding_pairs_ds(emb, "label", "vec_id", "embedding", threshold=0.3)
 
 
+def q_dedup_embedding_lsh(sf_dir: str):
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup.embedding_pairs_lsh_ds(emb, "vec_id", "embedding", threshold=0.3)
+
+
 def q_dedup_jaccard(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
     return dedup.jaccard_pairs_ds(docs, "source", "doc_id", "text", threshold=0.5)
@@ -402,6 +407,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "doc_fingerprint": q_doc_fingerprint,

@@ -289,3 +289,37 @@ def embedding_pairs_ds(ds, block_col: str, id_col: str, vec_col: str, threshold:
     from .grouped import coalesced_groupby
 
     return coalesced_groupby(ds, block_col).map_groups(_pairs, batch_format="pandas")
+
+
+LSH_TABLES = 8
+LSH_PLANES = 6
+
+
+def _lsh_table_buckets(batch: pd.DataFrame, vec_col: str) -> pd.DataFrame:
+    """Explode each vector into LSH_TABLES rows (table_id, bucket) — one
+    sign-bucket per independent hyperplane set (seeded per table)."""
+    M = np.vstack(batch[vec_col].to_numpy()).astype(np.float64)
+    frames = []
+    for t in range(LSH_TABLES):
+        P = np.random.default_rng(100 + t).standard_normal((LSH_PLANES, M.shape[1]))
+        bits = (M @ P.T) > 0
+        bucket = (bits * (1 << np.arange(LSH_PLANES))).sum(axis=1).astype("int64")
+        f = batch.copy()
+        f["table_id"] = np.int64(t)
+        f["bucket"] = bucket
+        frames.append(f)
+    return pd.concat(frames, ignore_index=True)
+
+
+def embedding_pairs_lsh_ds(ds, id_col: str, vec_col: str, threshold: float):
+    """Scale path for embedding near-dup: multi-table random-hyperplane LSH
+    blocking (a pair is a candidate if it collides in ANY of LSH_TABLES
+    independent tables — recall 1-(1-p^k)^T), exact cosine verification
+    within buckets, distinct pairs.  Recall vs the exact variant is
+    property-tested."""
+    from .grouped import distinct_block, hash_partitioned_agg
+
+    bucketed = ds.map_batches(lambda b: _lsh_table_buckets(b, vec_col), batch_format="pandas")
+    pairs = embedding_pairs_ds(bucketed, ["table_id", "bucket"], id_col, vec_col, threshold)
+    return hash_partitioned_agg(pairs, ["id_a", "id_b"], distinct_block(["id_a", "id_b"]),
+                                num_parts=8)

@@ -78,3 +78,26 @@ def test_embedding_pairs_match_bruteforce(ray_session):
         for i, j in zip(iu[S[iu, ju] >= 0.3], ju[S[iu, ju] >= 0.3]):
             want.add((int(ids[i]), int(ids[j])))
     assert got_pairs == want
+
+
+def test_embedding_lsh_recall(ray_session):
+    """LSH-bucketed variant finds a reasonable share of the exact pairs and
+    emits no pair below threshold (its pairs are a subset of brute force)."""
+    sf = "/root/testdata/sf0.001"
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    ds = rd.from_pandas(emb[["vec_id", "embedding"]])
+    got = dedup.embedding_pairs_lsh_ds(ds, "vec_id", "embedding", 0.3).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    M = np.vstack(emb["embedding"].values).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    ids = emb["vec_id"].values
+    iu, ju = np.triu_indices(len(ids), 1)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(iu[S[iu, ju] >= 0.3], ju[S[iu, ju] >= 0.3])
+    }
+    assert got_pairs <= exact  # never a false pair
+    if exact:
+        assert len(got_pairs) / len(exact) >= 0.25  # multi-table recall floor
