@@ -200,7 +200,12 @@ def run_kg_pipeline(
                 canon_pdf["norm_key"], canon_pdf["canon_id"], canon_pdf["canon_name"]
             )
         }
-        ecanon = kg.edges_canonical_ds(_parsed(columns=["url", "triples"]), canon_map=canon_map)
+        ncpu_now = int(ray.cluster_resources().get("CPU", 8))
+        ecanon = kg.edges_canonical_ds(
+            _parsed(columns=["url", "triples"]),
+            canon_map=canon_map,
+            concurrency=max(2, ncpu_now // 2),  # fixed pool: no autoscale ramp
+        )
         _write_adjacency(ecanon, ecanon_dir)
         manifest.mark_done("canonical", _dir_rows(ecanon_dir), wall_sec=time.time() - t0)
         _checkpoint_gate()
