@@ -127,9 +127,8 @@ def run_kg_pipeline(
             sub = batch.filter(mask)
             stats: dict = {}
             parsed = kg.extract_parse_batch(sub.select(["url", "html"]), stats=stats)
-            counter.incr.remote("pages_in", sub.num_rows)
-            for k, v in stats.items():
-                counter.incr.remote(k, v)
+            stats["pages_in"] = sub.num_rows
+            counter.incr_many.remote(stats)  # one actor call per batch
             return _add_shard(parsed, num_shards)
 
         ds = pages.map_batches(
@@ -148,12 +147,13 @@ def run_kg_pipeline(
         _checkpoint_gate()
 
     def _parsed(columns=None):
-        # the checkpoint is small relative to its file count (one dir per
-        # shard); coalesce into few read blocks so the downstream shuffle
-        # barriers (whose fixed cost is per input block) stay cheap
-        return rd.read_parquet(
-            parsed_dir, columns=columns, override_num_blocks=16
-        )
+        # coalesce the checkpoint read into ~ncpu blocks: enough map-side
+        # parallelism for the flatten/link stages, few enough that shuffle
+        # barriers (per-input-block fixed cost) stay cheap
+        import ray as _ray
+
+        nblocks = max(16, int(_ray.cluster_resources().get("CPU", 8)))
+        return rd.read_parquet(parsed_dir, columns=columns, override_num_blocks=nblocks)
 
     # ---- phase 2: nodes ----------------------------------------------------
     nodes_dir = os.path.join(out_dir, "nodes")
@@ -227,13 +227,14 @@ def run_kg_pipeline(
         )  # vocab cap keeps the head (short, frequent) entities; ties by name
         gaz = (names_pdf["name"].tolist(), names_pdf["type"].tolist())
         ncpu = int(ray.cluster_resources().get("CPU", 8))
+        # materialize the (small: url+text_out) input first so the tagger
+        # pool can own every CPU without starving an upstream read —
+        # autoscaling pools ramp too slowly for a short stage, and a
+        # streaming pool equal to the CPU count deadlocks
         extracted = rd.read_parquet(
             parsed_dir, columns=["url", "text_out"], override_num_blocks=ncpu * 6
-        )  # fine-grained blocks: ~6 waves over the pool evens out stragglers
-        # fixed pool sized ncpu-2: autoscaling pools ramp too slowly for a
-        # short stage, and a pool equal to the CPU count would starve its
-        # own upstream read (deadlock) — leave two slots for the reader
-        mentions = mentions_ds(extracted, gaz, concurrency=max(2, ncpu - 2))
+        ).materialize()
+        mentions = mentions_ds(extracted, gaz, concurrency=ncpu)
         mentions.write_parquet(mentions_dir)
         manifest.mark_done("mentions", _dir_rows(mentions_dir), wall_sec=time.time() - t0)
         _checkpoint_gate()

@@ -56,6 +56,8 @@ def tag_mentions(text: str, pattern: GazetteerMatcher, type_of: dict[str, str]) 
     spans = []
     for start, end, name in pattern.finditer(text):
         spans.append((start, end, type_of.get(name, "CONCEPT")))
+    if not spans:
+        return []  # skip the per-char BIOES round-trip for unmatched text
     labels = encode_bioes(text, spans)
     entities = decode_bioes(text, labels)
     out = []
@@ -139,6 +141,8 @@ class PatternTagger:
 
     def tag(self, text: str) -> list[dict]:
         spans = [(m.start(), m.end(), m.lastgroup) for m in self.pattern.finditer(text)]
+        if not spans:
+            return []
         labels = encode_bioes(text, spans)
         entities = decode_bioes(text, labels)
         out = []

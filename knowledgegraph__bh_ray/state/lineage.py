@@ -40,6 +40,10 @@ class CounterActor:
     def incr(self, name: str, n: int = 1) -> None:
         self.counts[name] = self.counts.get(name, 0) + int(n)
 
+    def incr_many(self, stats: dict) -> None:
+        for name, n in stats.items():
+            self.counts[name] = self.counts.get(name, 0) + int(n)
+
     def get_all(self) -> dict[str, int]:
         return dict(self.counts)
 
