@@ -155,6 +155,39 @@ def run_bench() -> dict:
     }
 
 
+def _work_mp(n):  # top-level for multiprocessing pickling
+    import re
+
+    pat = re.compile("|".join(re.escape(f"实体{i}") for i in range(2000)))
+    text = ("实体5 与 实体17 的关系，" + "普通文字内容填充一些，" * 6) * 30
+    c = 0
+    for _ in range(n):
+        c += sum(1 for _ in pat.finditer(text))
+    return c
+
+
+def hardware_control(lo: int, hi: int) -> dict:
+    """Machine-achievable speedup control: the same CPU-bound string
+    workload on raw multiprocessing (no Ray, no engine).  This virtualized
+    box does NOT deliver hi/lo× throughput for hi/lo× processes (measured
+    ~2.5× for 8→32 even with zero framework overhead — host-level
+    contention), so the pipeline's raw ratio must be read against this
+    ceiling; on a real N→4N-node cluster the nodes are independent
+    machines and the ceiling does not apply."""
+    import multiprocessing as mp
+    import time as _t
+
+    out = {}
+    for procs in (lo, hi):
+        with mp.Pool(procs) as pool:
+            pool.map(_work_mp, [10] * procs)  # warm
+            t0 = _t.time()
+            pool.map(_work_mp, [2000] * 256, chunksize=4)
+            out[procs] = _t.time() - t0
+    return {"sec": {str(lo): round(out[lo], 2), str(hi): round(out[hi], 2)},
+            "speedup": round(out[lo] / out[hi], 3)}
+
+
 def run_scaling() -> dict:
     def run_at(ncpu: int) -> dict:
         env = dict(
@@ -183,7 +216,9 @@ def run_scaling() -> dict:
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    speedup = t_lo / t_hi
+    eff = speedup / (hi / lo)
+    hw = hardware_control(lo, hi)
     return {
         "metric": "scaling",
         "cpus": [lo, hi],
@@ -192,8 +227,10 @@ def run_scaling() -> dict:
                     str(hi): [r["value"] for r in runs_hi]},
         "pages_per_sec": [r_lo["pages_per_sec"], r_hi["pages_per_sec"]],
         "triples_per_sec": [r_lo["triples_per_sec"], r_hi["triples_per_sec"]],
-        "speedup": round(t_lo / t_hi, 3),
+        "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
+        "hw_control": hw,  # machine-achievable speedup, no Ray/engine
+        "normalized_efficiency": round(speedup / hw["speedup"], 3),
         "sf": SF_DIR,
     }
 
