@@ -98,8 +98,9 @@ def _node_id_set(source) -> frozenset:
     canonical broadcast-semi-join case (SURVEY.md §2.5 J1).  If the
     vocabulary ever outgrew memory the fallback is a hash-bucketed join on
     id — not needed at this corpus/vocab ratio."""
-    ids = nodes_raw_ds(source).select_columns(["id"]).to_pandas()["id"]
-    return frozenset(ids)
+    pdf = nodes_raw_ds(source).select_columns(["id"]).to_pandas()
+    # an empty Dataset materializes with no columns at all
+    return frozenset(pdf["id"]) if "id" in pdf.columns else frozenset()
 
 
 def edges_ds(source, node_ids: frozenset | None = None, salt_buckets: int = 16,
@@ -160,10 +161,16 @@ def edges_canonical_ds(source, canon_map: dict | None = None, concurrency=(2, 16
     triples = triples_raw_ds(source)
     if canon_map is None:
         canon_pdf = canonical_nodes_ds(source).to_pandas()
-        canon_map = {
-            k: (i, n)
-            for k, i, n in zip(canon_pdf["norm_key"], canon_pdf["canon_id"], canon_pdf["canon_name"])
-        }
+        canon_map = (
+            {
+                k: (i, n)
+                for k, i, n in zip(
+                    canon_pdf["norm_key"], canon_pdf["canon_id"], canon_pdf["canon_name"]
+                )
+            }
+            if "norm_key" in canon_pdf.columns
+            else {}
+        )
     ref = ray.put(canon_map)
     linked = triples.map_batches(
         CanonicalizeTriples,

@@ -194,12 +194,16 @@ def run_kg_pipeline(
         )
         canon.write_parquet(canon_dir)
         canon_pdf = _read_small(canon_dir)
-        canon_map = {
-            k: (i, n)
-            for k, i, n in zip(
-                canon_pdf["norm_key"], canon_pdf["canon_id"], canon_pdf["canon_name"]
-            )
-        }
+        canon_map = (
+            {
+                k: (i, n)
+                for k, i, n in zip(
+                    canon_pdf["norm_key"], canon_pdf["canon_id"], canon_pdf["canon_name"]
+                )
+            }
+            if "norm_key" in canon_pdf.columns
+            else {}
+        )
         ncpu_now = int(ray.cluster_resources().get("CPU", 8))
         ecanon = kg.edges_canonical_ds(
             _parsed(columns=["url", "triples"]),
