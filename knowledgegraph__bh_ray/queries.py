@@ -137,6 +137,26 @@ def q_kg_mentions(sf_dir: str):
     return ner.mentions_ds(kg.extracted_ds(pages), (names, types))
 
 
+def q_kg_entity_freq(sf_dir: str):
+    """Mention-frequency table (the Zipfian head made visible): mentions
+    grouped by (entity, etype) with counts."""
+    from .stages.grouped import hash_partitioned_agg
+
+    mentions = q_kg_mentions(sf_dir)
+
+    def _to_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"entity": batch["entity"], "etype": batch["etype"], "n_mentions": np.int64(1)}
+        )
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["entity", "etype"], sort=False, as_index=False)["n_mentions"].sum()
+
+    return hash_partitioned_agg(
+        mentions.map_batches(_to_rows, batch_format="pandas"), ["entity", "etype"], _agg
+    )
+
+
 def q_kg_stats(sf_dir: str):
     """Run-level graph statistics (reference op G8 counters) computed
     distributed: one aggregate pass per table."""
@@ -398,6 +418,7 @@ QUERIES = {
     "kg_mentions_pattern": q_kg_mentions_pattern,
     "kg_extract_zh": q_kg_extract_zh,
     "kg_stats": q_kg_stats,
+    "kg_entity_freq": q_kg_entity_freq,
     "kg_bfs": q_kg_bfs,
     "kg_page_graph_nodes": q_kg_page_graph_nodes,
     "kg_page_graph_edges": q_kg_page_graph_edges,
@@ -509,6 +530,10 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT subj, count(*) AS n_out, sum(weight)::BIGINT AS total_weight
             FROM e GROUP BY subj
         """,
+        "kg_entity_freq": (
+            f"SELECT entity, etype, count(*) AS n_mentions "
+            f"FROM read_parquet('{_G}/mentions.parquet') GROUP BY 1, 2"
+        ),
         "kg_stats": f"""
             SELECT (SELECT count(*) FROM read_parquet('{_G}/extracted.parquet'))::BIGINT AS n_pages,
                    (SELECT count(*) FROM read_parquet('{_G}/nodes_raw.parquet'))::BIGINT AS n_node_occurrences,

@@ -92,3 +92,15 @@ def test_train_val_split(ray_session):
     # seeded → deterministic
     train2, val2 = train_val_split(rd.range(100), val_frac=0.2, seed=42)
     assert sorted(r["id"] for r in val.take_all()) == sorted(r["id"] for r in val2.take_all())
+
+
+def test_rag_context_format():
+    import pandas as pd
+
+    from knowledgegraph__bh_ray.stages.embed import format_rag_context
+
+    concepts = pd.DataFrame({"name": ["机器学习"], "similarity": [0.9123]})
+    relations = pd.DataFrame({"phrase": ["A 包含 B"], "similarity": [0.5]})
+    out = format_rag_context(concepts, relations)
+    assert "相关概念：" in out and "机器学习 (相似度: 0.9123)" in out
+    assert "相关关系：" in out and "A 包含 B" in out
