@@ -185,15 +185,30 @@ def run_kg_pipeline(
         manifest.clean_unit_dir(ecanon_dir)
         # canonical pick over the deduped nodes table ≡ over raw occurrences:
         # each id's keep-first row already carries the min-seq surface form,
-        # so min-by-seq per blocking key is unchanged — and the input is the
-        # small nodes parquet, not a parsed re-read
-        from ..stages.linkage import canonical_map_ds
+        # so min-by-seq per blocking key is unchanged.  The deduped node
+        # table is vocabulary-sized (≪ corpus), so the canonical map is
+        # computed driver-side in one vectorized pandas pass instead of a
+        # Ray job — same keep-first-by-seq semantics as the distributed
+        # canonical_map_ds (which remains the oracle-gated query path).
+        import pyarrow.parquet as _pq
 
-        canon = canonical_map_ds(
-            rd.read_parquet(nodes_dir, columns=["url", "seq", "name"])
+        from ..functions.hashing import md5_id
+        from ..stages.linkage import normalize_surface_series
+
+        nodes_pdf = _read_small(nodes_dir, ["url", "seq", "name"])
+        nodes_pdf["norm_key"] = normalize_surface_series(nodes_pdf["name"])
+        canon_pdf = (
+            nodes_pdf.sort_values("seq", kind="mergesort")
+            .drop_duplicates(subset=["norm_key"], keep="first")
+            .rename(columns={"name": "canon_name"})[["norm_key", "canon_name"]]
+            .reset_index(drop=True)
         )
-        canon.write_parquet(canon_dir)
-        canon_pdf = _read_small(canon_dir)
+        canon_pdf["canon_id"] = [md5_id(n) for n in canon_pdf["canon_name"]]
+        os.makedirs(canon_dir, exist_ok=True)
+        _pq.write_table(
+            pa.Table.from_pandas(canon_pdf, preserve_index=False),
+            os.path.join(canon_dir, "part-00000.parquet"),
+        )
         canon_map = (
             {
                 k: (i, n)
