@@ -91,9 +91,6 @@ def run_bench() -> dict:
     headline = min(runs)
     queries["kg_pipeline"] = round(headline, 3)
 
-    triples_raw = sum(
-        r["counters"].get("pages_in", 0) and 0 for r in result["records"]
-    )  # placeholder; real count below
     import ray.data as rd
 
     n_edges = rd.read_parquet(os.path.join(out_dir, "edges")).count()

@@ -6,14 +6,30 @@ the standard move (Ray guide: "broadcast the key set or a Bloom filter of
 it") is a bits-only filter: false positives let a few dangling edges
 survive to a cheap exact post-check, false negatives never occur so no true
 edge is lost.  numpy bit array, double-hashing scheme h1 + i·h2 (Kirsch &
-Mitzenmacher), deterministic (md5-derived hashes).
+Mitzenmacher).
+
+Everything is ARRAY-at-a-time: hashing runs through ``pd.util.hash_array``
+(C siphash over the whole key array, fixed hash keys → deterministic across
+processes), position math and bit tests are one numpy broadcast over
+(n_keys × n_hashes) — no per-row Python on the scale path this filter
+exists for.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
+import pandas as pd
+
+# pandas hash_array keys must be exactly 16 bytes
+_HK1 = "kgbh.bloom.h1.ky"
+_HK2 = "kgbh.bloom.h2.ky"
+
+
+def _h1h2_many(keys) -> tuple[np.ndarray, np.ndarray]:
+    arr = np.asarray(keys, dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key=_HK1).astype(np.uint64)
+    h2 = (pd.util.hash_array(arr, hash_key=_HK2).astype(np.uint64)) | np.uint64(1)
+    return h1, h2
 
 
 class BloomFilter:
@@ -25,34 +41,40 @@ class BloomFilter:
         self.n_hashes = max(1, int(round(m / capacity * np.log(2))))
         self.bits = np.zeros((m + 63) // 64, dtype=np.uint64)
 
-    @staticmethod
-    def _h1h2(key: str) -> tuple[int, int]:
-        d = hashlib.md5(key.encode("utf-8")).digest()
-        return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
-
-    def _positions(self, key: str) -> np.ndarray:
-        h1, h2 = self._h1h2(key)
+    def _positions_many(self, keys) -> np.ndarray:
+        """(n_keys, n_hashes) bit positions, fully vectorized."""
+        h1, h2 = _h1h2_many(keys)
         i = np.arange(self.n_hashes, dtype=np.uint64)
-        return (np.uint64(h1) + i * np.uint64(h2)) % np.uint64(self.n_bits)
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(self.n_bits)
 
-    def add(self, key: str) -> None:
-        pos = self._positions(key)
+    def add_many(self, keys) -> None:
+        pos = self._positions_many(keys).ravel()
         # unbuffered |= — duplicate word indices must all apply
         np.bitwise_or.at(
             self.bits, (pos >> np.uint64(6)).astype(np.int64),
             np.uint64(1) << (pos & np.uint64(63)),
         )
 
-    def __contains__(self, key: str) -> bool:
-        pos = self._positions(key)
-        word = self.bits[pos >> np.uint64(6)]
+    def contains_many(self, keys) -> np.ndarray:
+        """Vectorized membership: bool array aligned with ``keys``."""
+        keys = np.asarray(keys, dtype=object)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions_many(keys)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
         mask = np.uint64(1) << (pos & np.uint64(63))
-        return bool(np.all(word & mask))
+        return np.all((word & mask) != 0, axis=1)
+
+    def add(self, key: str) -> None:
+        self.add_many([key])
+
+    def __contains__(self, key: str) -> bool:
+        return bool(self.contains_many([key])[0])
 
     @classmethod
     def build(cls, keys, fp_rate: float = 0.01) -> "BloomFilter":
         keys = list(keys)
         bf = cls(len(keys), fp_rate)
-        for k in keys:
-            bf.add(k)
+        if keys:
+            bf.add_many(keys)
         return bf

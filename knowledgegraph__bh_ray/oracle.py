@@ -303,9 +303,16 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
             triple_rows["obj_name"].append(r["obj_name"])
             triple_rows["props_json"].append(json.dumps(r["props"], ensure_ascii=False, sort_keys=True))
 
-    # mention pass: gazetteer = all distinct node names (global vocabulary)
-    name_set = set(node_rows["name"])
-    names_by_len = sorted(name_set, key=lambda x: (-len(x), x))
+    # mention pass: gazetteer = distinct node names under the SAME
+    # longest-win vocabulary cap as the engine (stages/ner.MAX_GAZETTEER,
+    # same (-len, name) sort key) — the golden-hash gate stays valid at
+    # scales where the vocabulary exceeds the cap
+    from .stages.ner import MAX_GAZETTEER
+
+    names_by_len = sorted(
+        set(n for n in node_rows["name"] if n), key=lambda x: (-len(x), x)
+    )[:MAX_GAZETTEER]
+    name_set = set(names_by_len)
     for url, paras in docs:
         for pi, para in enumerate(paras):
             for m in oracle_tag_mentions(para, names_by_len, name_set):

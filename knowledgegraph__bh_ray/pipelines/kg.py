@@ -95,12 +95,18 @@ def _node_id_set(source) -> frozenset:
     """Distinct node ids — the entity vocabulary (small side, broadcast).
 
     Vocabulary cardinality ~ |entities|, not |corpus|; at 100 TB this is the
-    canonical broadcast-semi-join case (SURVEY.md §2.5 J1).  If the
-    vocabulary ever outgrew memory the fallback is a hash-bucketed join on
-    id — not needed at this corpus/vocab ratio."""
-    pdf = nodes_raw_ds(source).select_columns(["id"]).to_pandas()
+    canonical broadcast-semi-join case (SURVEY.md §2.5 J1).  The distinct
+    runs DISTRIBUTED (hash-partitioned dedup) so only the vocabulary-sized
+    result ever reaches the driver — never the corpus-sized occurrence
+    column.  If even the vocabulary outgrew memory, use
+    ``edges_ds(join_mode="bucketed")`` (a real distributed join)."""
+    from ..stages.grouped import distinct_block, hash_partitioned_agg
+
+    ids = hash_partitioned_agg(
+        nodes_raw_ds(source).select_columns(["id"]), ["id"], distinct_block(["id"])
+    ).to_pandas()
     # an empty Dataset materializes with no columns at all
-    return frozenset(pdf["id"]) if "id" in pdf.columns else frozenset()
+    return frozenset(ids["id"]) if "id" in ids.columns else frozenset()
 
 
 def edges_ds(source, node_ids: frozenset | None = None, salt_buckets: int = 16,
@@ -126,9 +132,10 @@ def edges_ds(source, node_ids: frozenset | None = None, salt_buckets: int = 16,
 
     def _drop_dangling(batch: pd.DataFrame) -> pd.DataFrame:
         bloom = ray.get(bloom_ref)
-        if bloom is not None:
-            m0 = batch["subj"].map(lambda x: x in bloom) & batch["obj"].map(
-                lambda x: x in bloom
+        if bloom is not None and len(batch):
+            # vectorized probe: one (rows × n_hashes) broadcast per column
+            m0 = bloom.contains_many(batch["subj"].to_numpy()) & bloom.contains_many(
+                batch["obj"].to_numpy()
             )
             batch = batch[m0]
         ids = ray.get(ids_ref)

@@ -237,13 +237,14 @@ def run_kg_pipeline(
         from ..stages.ner import mentions_ds
 
         # gazetteer = the longest node names (vocab cap keeps the compiled
-        # pattern bounded; documented truncation), deterministic order
+        # pattern bounded; documented truncation) — same longest-win policy
+        # as GazetteerMatcher's own MAX_GAZETTEER cap; ties broken by name
         names_pdf = _read_small(nodes_dir, ["name", "type"])
         names_pdf = (
             names_pdf.assign(_len=names_pdf["name"].str.len())
-            .sort_values(["_len", "name"], ascending=[True, True], kind="mergesort")
+            .sort_values(["_len", "name"], ascending=[False, True], kind="mergesort")
             .head(5000)
-        )  # vocab cap keeps the head (short, frequent) entities; ties by name
+        )
         gaz = (names_pdf["name"].tolist(), names_pdf["type"].tolist())
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         # materialize the (small: url+text_out) input first so the tagger

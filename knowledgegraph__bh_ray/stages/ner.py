@@ -131,16 +131,28 @@ PATTERN_RULES: list[tuple[str, str]] = [
 class PatternTagger:
     """Actor-pool rule-based mention detector (the 'dependency/pattern
     tagger' stage alongside the model slot): typed regex rules compiled
-    once per actor; leftmost-longest non-overlapping resolution across
-    rules via a combined alternation with named groups; BIOES round-trip
-    like the model path."""
+    once per actor; leftmost-longest non-overlapping resolution is done
+    EXPLICITLY — every rule's finditer spans are collected, sorted by
+    (start, -length, rule order) and greedily swept — because a combined
+    alternation would pick the first rule matching at a position, not the
+    longest span.  BIOES round-trip like the model path."""
 
     def __init__(self, rules: list[tuple[str, str]] | None = None):
         rules = rules or PATTERN_RULES
-        self.pattern = re.compile("|".join(f"(?P<{t}>{p})" for t, p in rules))
+        self.rules = [(t, re.compile(p)) for t, p in rules]
 
     def tag(self, text: str) -> list[dict]:
-        spans = [(m.start(), m.end(), m.lastgroup) for m in self.pattern.finditer(text)]
+        raw = []
+        for order, (etype, pat) in enumerate(self.rules):
+            for m in pat.finditer(text):
+                raw.append((m.start(), m.start() - m.end(), order, m.end(), etype))
+        raw.sort()
+        spans = []
+        last_end = 0
+        for start, _neg_len, _order, end, etype in raw:
+            if start >= last_end:
+                spans.append((start, end, etype))
+                last_end = end
         if not spans:
             return []
         labels = encode_bioes(text, spans)
