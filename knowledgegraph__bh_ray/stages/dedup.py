@@ -21,8 +21,6 @@ import re
 import numpy as np
 import pandas as pd
 
-from ..functions.hashing import stable_u64
-
 RE_WS = re.compile(r"\s+")
 
 _MERSENNE = (1 << 61) - 1
@@ -38,72 +36,149 @@ _B = _rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 _SHINGLE_BASE = np.uint64(1099511628211)
 
 
-def _word_shingles(text: str, n: int = 3) -> np.ndarray:
-    """Hashed word n-gram shingle set — tokens hashed once (md5), n-gram
-    hashes composed arithmetically with a vectorized rolling polynomial
-    (no per-shingle string building/hashing)."""
-    toks = RE_WS.split(text.strip()) if text.strip() else []
-    if not toks:
-        return np.zeros(0, dtype=np.uint64)
-    # vectorized token hashing (pandas siphash, fixed key → deterministic
-    # across processes; C speed vs per-token md5)
-    tok_h = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
-    if len(tok_h) < n:
+def _hash_tokens(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize EVERY doc in the batch, hash all tokens in ONE
+    ``pd.util.hash_array`` call (C siphash, fixed key → deterministic
+    across processes).  Returns (token_hashes concatenated in doc order,
+    per-doc token counts)."""
+    tok_lists = [
+        RE_WS.split(t.strip()) if isinstance(t, str) and t.strip() else [] for t in texts
+    ]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = [tok for toks in tok_lists for tok in toks]
+    if not flat:
+        return np.zeros(0, dtype=np.uint64), lens
+    return pd.util.hash_array(np.array(flat, dtype=object)).astype(np.uint64), lens
+
+
+def minhash_signatures_batch(texts, n: int = 3) -> np.ndarray:
+    """(n_docs, N_PERM) uint64 minhash signatures of word-3-gram shingles —
+    ONE vectorized pass across the whole batch: tokens hashed together,
+    rolling n-gram polynomial over the concatenated token array (windows
+    crossing doc boundaries masked out), permutations applied to all
+    shingles at once, per-doc mins via ``np.minimum.reduceat`` over the
+    doc-contiguous window segments.  No per-document Python loop."""
+    n_docs = len(texts)
+    sigs = np.zeros((n_docs, N_PERM), dtype=np.uint64)
+    H, lens = _hash_tokens(texts)
+    T = len(H)
+    if T == 0:
+        return sigs
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    tok_doc = np.repeat(np.arange(n_docs), lens)
+
+    shingles = np.zeros(0, dtype=np.uint64)
+    win_doc = np.zeros(0, dtype=np.int64)
+    if T >= n:
+        m = T - n + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            acc = acc * _SHINGLE_BASE + H[j : j + m]
+        # a window is valid iff its first and last token are in the same doc
+        valid = tok_doc[:m] == tok_doc[n - 1 :]
+        shingles = acc[valid] % _MERSENNE
+        win_doc = tok_doc[:m][valid]
+
+    if len(shingles):
+        # h_i(x) = (a_i * x + b_i) mod p over (perm, shingle) at once
+        vals = (_A[:, None] * shingles[None, :] + _B[:, None]) % _MERSENNE
+        docs_with, starts = np.unique(win_doc, return_index=True)  # doc-contiguous
+        sigs[docs_with] = np.minimum.reduceat(vals, starts, axis=1).T
+
+    # docs with 0 < n_tokens < n: one polynomial shingle over all tokens
+    for d in np.flatnonzero((lens > 0) & (lens < n)):
         acc = np.uint64(0)
-        for h in tok_h:
+        for h in H[offsets[d] : offsets[d + 1]]:
             acc = acc * _SHINGLE_BASE + h
-        return np.array([acc % _MERSENNE], dtype=np.uint64)
-    m = len(tok_h) - n + 1
-    acc = np.zeros(m, dtype=np.uint64)
-    for j in range(n):
-        acc = acc * _SHINGLE_BASE + tok_h[j : j + m]
-    return np.unique(acc % _MERSENNE)
+        sigs[d] = (_A * (acc % _MERSENNE) + _B) % _MERSENNE
+    return sigs
 
 
 def minhash_signature(text: str) -> np.ndarray:
-    """N_PERM-wide minhash signature of word-3-gram shingles (uint64)."""
-    sh = _word_shingles(text)
-    if len(sh) == 0:
-        return np.zeros(N_PERM, dtype=np.uint64)
-    # h_i(x) = (a_i * x + b_i) mod p, vectorized over (perm, shingle)
-    vals = (_A[:, None] * sh[None, :] + _B[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+    """Single-doc convenience wrapper over the batched kernel."""
+    return minhash_signatures_batch([text])[0]
+
+
+def band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, N_PERM) signatures → (n_docs, N_BANDS) uint64 band hashes
+    (polynomial combine of the band's rows, vectorized across docs)."""
+    r = sigs.reshape(len(sigs), N_BANDS, ROWS_PER_BAND)
+    bh = np.zeros((len(sigs), N_BANDS), dtype=np.uint64)
+    for j in range(ROWS_PER_BAND):
+        bh = bh * _SHINGLE_BASE + r[:, :, j]
+    return bh
 
 
 def minhash_bands_batch(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
-    """doc → N_BANDS rows (band_id, band_hash, id, sig_csv): LSH banding."""
-    out = {"band_id": [], "band_hash": [], id_col: [], "sig": []}
-    for doc_id, text in zip(batch[id_col], batch[text_col]):
-        sig = minhash_signature(text)
-        sig_csv = ",".join(map(str, sig))
-        for b in range(N_BANDS):
-            band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            out["band_id"].append(b)
-            out["band_hash"].append(str(stable_u64(",".join(map(str, band)))))
-            out[id_col].append(doc_id)
-            out["sig"].append(sig_csv)
-    return pd.DataFrame(out)
+    """doc → N_BANDS rows (band_id, band_hash, id, sig): LSH banding.
+    Signatures ride along as fixed-width uint64 vectors (Arrow tensor
+    column), not strings; band explosion is np.repeat/tile, not a loop."""
+    sigs = minhash_signatures_batch(list(batch[text_col]))
+    bh = band_hashes(sigs)
+    n_docs = len(batch)
+    idx = np.repeat(np.arange(n_docs), N_BANDS)
+    return pd.DataFrame(
+        {
+            "band_id": np.tile(np.arange(N_BANDS, dtype=np.int64), n_docs),
+            "band_hash": bh.ravel(),
+            id_col: batch[id_col].to_numpy()[idx],
+            "sig": list(sigs[idx]),
+        }
+    )
+
+
+def _intra_bucket_pairs(starts: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-bucket (i<j) row-index pairs for buckets laid out
+    contiguously (bucket b = rows starts[b]..starts[b]+counts[b]) —
+    vectorized by DISTINCT bucket size: one ``triu_indices`` per size class
+    broadcast over every bucket of that size, never a per-bucket loop."""
+    I_parts: list[np.ndarray] = []
+    J_parts: list[np.ndarray] = []
+    for k in np.unique(counts):
+        if k < 2:
+            continue
+        s = starts[counts == k]
+        iu, ju = np.triu_indices(int(k), 1)
+        I_parts.append((s[:, None] + iu[None, :]).ravel())
+        J_parts.append((s[:, None] + ju[None, :]).ravel())
+    if not I_parts:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(I_parts), np.concatenate(J_parts)
+
+
+def _bucket_layout(g: pd.DataFrame, bucket_cols: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, counts) of the contiguous bucket runs in a frame already
+    sorted by ``bucket_cols`` — change-detection, no groupby."""
+    n = len(g)
+    new_run = np.zeros(n, dtype=bool)
+    new_run[0] = True
+    for c in bucket_cols:
+        v = g[c].to_numpy()
+        new_run[1:] |= v[1:] != v[:-1]
+    starts = np.flatnonzero(new_run)
+    counts = np.diff(np.concatenate([starts, [n]]))
+    return starts, counts
 
 
 def candidate_pairs_from_band(group: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFrame:
     """One LSH bucket → verified candidate pairs (estimated Jaccard =
-    matching minhash positions / N_PERM ≥ threshold)."""
+    matching minhash positions / N_PERM ≥ threshold), vectorized over the
+    bucket's (k × k) signature comparison."""
     g = group.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
-    ids = g[id_col].tolist()
-    if len(ids) < 2:
+    ids = g[id_col].to_numpy()
+    k = len(ids)
+    if k < 2:
         return pd.DataFrame({"id_a": pd.Series([], dtype=g[id_col].dtype),
                              "id_b": pd.Series([], dtype=g[id_col].dtype),
                              "est_jaccard": pd.Series([], dtype="float64")})
-    sigs = np.array([[int(x) for x in s.split(",")] for s in g["sig"]], dtype=np.uint64)
-    rows_a, rows_b, est = [], [], []
-    for i in range(len(ids)):
-        match = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        for off, m in enumerate(match):
-            if m >= threshold:
-                rows_a.append(ids[i])
-                rows_b.append(ids[i + 1 + off])
-                est.append(float(m))
-    return pd.DataFrame({"id_a": rows_a, "id_b": rows_b, "est_jaccard": est})
+    sigs = np.vstack(list(g["sig"])).astype(np.uint64)
+    iu, ju = np.triu_indices(k, 1)
+    est = (sigs[iu] == sigs[ju]).mean(axis=1)
+    m = est >= threshold
+    return pd.DataFrame(
+        {"id_a": ids[iu[m]], "id_b": ids[ju[m]], "est_jaccard": est[m].astype(np.float64)}
+    )
 
 
 def minhash_pairs_ds(ds, id_col: str, text_col: str, threshold: float = 0.8):
@@ -126,15 +201,26 @@ def minhash_pairs_ds(ds, id_col: str, text_col: str, threshold: float = 0.8):
         g = group.drop_duplicates(subset=["band_id", "band_hash", id_col])
         # vectorized singleton-bucket elimination
         g = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
-        frames = []
-        for _, bucket in g.groupby(["band_id", "band_hash"], sort=False):
-            frames.append(candidate_pairs_from_band(bucket, id_col, threshold))
-        if not frames:
+        if len(g) == 0:
             return pd.DataFrame(
                 {"id_a": pd.Series([], dtype=object), "id_b": pd.Series([], dtype=object),
                  "est_jaccard": pd.Series([], dtype="float64")}
             )
-        return pd.concat(frames, ignore_index=True)
+        # ONE pass for the whole partition: sort buckets contiguous, generate
+        # every within-bucket pair index vectorized (no per-bucket Python),
+        # then a single (n_pairs × N_PERM) signature comparison
+        g = g.sort_values(["band_id", "band_hash", id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        starts, counts = _bucket_layout(g, ["band_id", "band_hash"])
+        I, J = _intra_bucket_pairs(starts, counts)
+        S = np.stack(list(g["sig"]))
+        est = (S[I] == S[J]).mean(axis=1)
+        m = est >= threshold
+        ids = g[id_col].to_numpy()  # sorted by id within bucket → id_a < id_b
+        return pd.DataFrame(
+            {"id_a": ids[I[m]], "id_b": ids[J[m]], "est_jaccard": est[m].astype(np.float64)}
+        )
 
     bands = ds.map_batches(_bands, batch_format="pandas")
     pairs = (
@@ -155,31 +241,53 @@ SIMHASH_BANDS = 4
 _BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
-def simhash64(text: str) -> int:
-    toks = RE_WS.split(text.strip()) if text.strip() else []
-    if not toks:
-        return 0
+def simhash64_batch(texts) -> np.ndarray:
+    """(n_docs,) uint64 simhashes — one vectorized pass: all tokens hashed
+    together, per-bit ±1 contributions summed per doc via
+    ``np.add.reduceat`` over the doc-contiguous token segments."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    H, lens = _hash_tokens(texts)
+    if len(H) == 0:
+        return out
     shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-    tok_h = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
-    bits = ((tok_h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-    acc = (2 * bits - 1).sum(axis=0)
-    out = 0
-    for i in range(SIMHASH_BITS):
-        if acc[i] > 0:
-            out |= 1 << i
+    contrib = (2 * ((H[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)) - 1
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    nonempty = lens > 0
+    acc = np.add.reduceat(contrib, offsets[:-1][nonempty], axis=0)  # (#nonempty, 64)
+    out[nonempty] = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
     return out
 
 
+def simhash64(text: str) -> int:
+    """Single-doc convenience wrapper over the batched kernel."""
+    return int(simhash64_batch([text])[0])
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (unpackbits over the byte view)."""
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1).astype(np.int64)
+
+
 def simhash_bands_batch(batch: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
-    out = {"band_id": [], "band_val": [], id_col: [], "simhash": []}
-    for doc_id, text in zip(batch[id_col], batch[text_col]):
-        h = simhash64(text)
-        for b in range(SIMHASH_BANDS):
-            out["band_id"].append(b)
-            out["band_val"].append(str((h >> (b * _BAND_BITS)) & ((1 << _BAND_BITS) - 1)))
-            out[id_col].append(doc_id)
-            out["simhash"].append(str(h))
-    return pd.DataFrame(out)
+    """doc → SIMHASH_BANDS rows (band_id, band_val, id, simhash) with the
+    hash as a native uint64 column — band explosion via repeat/shift."""
+    hs = simhash64_batch(list(batch[text_col]))
+    n_docs = len(batch)
+    idx = np.repeat(np.arange(n_docs), SIMHASH_BANDS)
+    band_id = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n_docs)
+    band_val = (hs[idx] >> (band_id.astype(np.uint64) * np.uint64(_BAND_BITS))) & np.uint64(
+        (1 << _BAND_BITS) - 1
+    )
+    return pd.DataFrame(
+        {
+            "band_id": band_id,
+            "band_val": band_val,
+            id_col: batch[id_col].to_numpy()[idx],
+            "simhash": hs[idx],
+        }
+    )
 
 
 def simhash_pairs_ds(ds, id_col: str, text_col: str, max_hamming: int = 3):
@@ -189,19 +297,6 @@ def simhash_pairs_ds(ds, id_col: str, text_col: str, max_hamming: int = 3):
 
     num_parts = 16
 
-    def _verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].tolist()
-        hs = [int(x) for x in g["simhash"]]
-        rows = {"id_a": [], "id_b": [], "hamming": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(hs[i] ^ hs[j]).count("1")
-                if d <= max_hamming:
-                    rows["id_a"].append(ids[i])
-                    rows["id_b"].append(ids[j])
-                    rows["hamming"].append(d)
-        return pd.DataFrame(rows)
-
     def _bands(batch: pd.DataFrame) -> pd.DataFrame:
         out = simhash_bands_batch(batch, id_col, text_col)
         out[PART_COL] = (_key_hash(out, ["band_id", "band_val"]) % num_parts).astype("int64")
@@ -209,20 +304,24 @@ def simhash_pairs_ds(ds, id_col: str, text_col: str, max_hamming: int = 3):
 
     def _verify_part(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=["band_id", "band_val", id_col])
-        g = g.sort_values(id_col, kind="mergesort")
         g = g[g.duplicated(subset=["band_id", "band_val"], keep=False)]
-        frames = [
-            _verify_bucket(bucket) for _, bucket in g.groupby(["band_id", "band_val"], sort=False)
-        ]
-        frames = [f for f in frames if not f.empty]
-        if not frames:
+        if len(g) == 0:
             return pd.DataFrame(
                 {"id_a": pd.Series([], dtype=object), "id_b": pd.Series([], dtype=object),
                  "hamming": pd.Series([], dtype="int64")}
             )
-        out = pd.concat(frames, ignore_index=True)
-        out["hamming"] = out["hamming"].astype("int64")
-        return out
+        # same vectorized bucket-pair layout as the minhash verify: one
+        # popcount over every candidate pair in the partition at once
+        g = g.sort_values(["band_id", "band_val", id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        starts, counts = _bucket_layout(g, ["band_id", "band_val"])
+        I, J = _intra_bucket_pairs(starts, counts)
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        d = _popcount64(hs[I] ^ hs[J])
+        m = d <= max_hamming
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame({"id_a": ids[I[m]], "id_b": ids[J[m]], "hamming": d[m]})
 
     bands = ds.map_batches(_bands, batch_format="pandas")
     pairs = (
