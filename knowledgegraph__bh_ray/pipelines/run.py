@@ -247,14 +247,15 @@ def run_kg_pipeline(
         )
         gaz = (names_pdf["name"].tolist(), names_pdf["type"].tolist())
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        # materialize the (small: url+text_out) input first so the tagger
-        # pool can own every CPU without starving an upstream read —
-        # autoscaling pools ramp too slowly for a short stage, and a
-        # streaming pool equal to the CPU count deadlocks
+        # STREAM the checkpoint into a fixed pool of ncpu-2 taggers: two CPU
+        # slots stay free for the upstream read tasks so the pool never
+        # starves its own input (a pool equal to the CPU count deadlocks —
+        # PERF.md round 1), and no corpus-sized dataset is ever pinned in
+        # the object store (round-1 verdict's #1 scale-killer)
         extracted = rd.read_parquet(
             parsed_dir, columns=["url", "text_out"], override_num_blocks=ncpu * 6
-        ).materialize()
-        mentions = mentions_ds(extracted, gaz, concurrency=ncpu)
+        )
+        mentions = mentions_ds(extracted, gaz, concurrency=max(1, ncpu - 2))
         mentions.write_parquet(mentions_dir)
         manifest.mark_done("mentions", _dir_rows(mentions_dir), wall_sec=time.time() - t0)
         _checkpoint_gate()
