@@ -1,23 +1,41 @@
 """Distributed connected components — iterative min-label propagation.
 
 Union-find at scale (SURVEY.md §7.4): a driver-side DSU only works when the
-edge set is provably small, so the engine's default is bounded rounds of
-min-label propagation expressed as shuffles:
+edge set is provably small — near-dup pairs on a boilerplate-heavy crawl are
+NOT (pairs can approach corpus size).  So every round here is expressed in
+Dataset ops; neither the edge list nor the label table ever materializes on
+the driver:
 
     labels(v) ← min(labels(v), min over neighbors u of labels(u))
 
-Each round: explode edges both directions, attach current labels to the
-source side (broadcast — the *label table* is |V|-sized; for vocabularies
-beyond worker memory swap the broadcast for a Dataset.join on node), group
-by target, take the min.  Convergence in ≤ diameter rounds; near-dup
-clusters are shallow (stars/cliques), so ``max_rounds`` defaults small and
-the loop exits early when no label changes.
+Per round: ``edges ⋈ labels`` on src flows each node's label to its
+neighbors, a hash-partitioned min-combine collapses candidates, then one
+pointer-jumping self-join (label ← label(label)) turns O(diameter)
+propagation into O(log n) rounds.  Convergence is detected with a tiny
+per-round label-table checksum aggregate (an order-invariant uint64 sum),
+not a driver-side compare.
+
+The joins are REDUCE-SIDE merges built from the engine's own partitioning
+machinery (tag sides → union → hash-partition on the key → one vectorized
+pandas merge per partition) rather than ``Dataset.join``: converged labels
+are maximally skewed (one giant component ⇒ one label value), and Ray's
+Arrow hash join errors out when a shuffle partition receives zero rows on
+one side — which skewed keys make routine.  Skew note: a giant component
+routes its rows to one reducer; the merge inside is vectorized C, so the
+bound is one partition's rows in one worker's memory — beyond that,
+salt-split the label key (documented limitation, standard for CC).
+
+The only whole-table operations are ``materialize()`` calls on the
+*iterative state* (edges once, labels per round) — object-store resident,
+spillable, required so round N+1 does not re-execute the entire upstream
+pair-generation DAG N times.
 
 Used by the near-dup clustering query (minhash pairs → duplicate clusters).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -50,75 +68,175 @@ def connected_components_pairs(pairs: pd.DataFrame, a: str = "id_a", b: str = "i
     return pd.DataFrame({"node": list(label), "cluster": [label[x] for x in label]})
 
 
-def connected_components_ds(pairs_ds, a: str = "id_a", b: str = "id_b",
-                            max_rounds: int = 10, num_parts: int = 8):
-    """Dataset of pairs → Dataset(node, cluster) via min-label propagation.
+def dsu_pairs(pairs: pd.DataFrame, a: str = "id_a", b: str = "id_b") -> pd.DataFrame:
+    """Union-find with path compression and union-by-min (the root IS the
+    min id of the component, matching the min-label semantics).  The fast
+    path for pair sets that COUNTED small — O(α) per edge."""
+    parent: dict = {}
 
-    Each round: broadcast the directed edge list (the LSH-collision pair
-    set, ≪ corpus by construction), propagate labels along edges inside
-    map_batches, then one hash-partitioned min-combine per round:
-    new_label(v) = min(label(v), min(label(u) for u→v)).  If the pair set
-    ever outgrew worker memory, the broadcast merge becomes a per-round
-    Dataset.join on ``src`` — same round structure."""
-    import ray
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(pairs[a], pairs[b]):
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+    return pd.DataFrame({"node": list(parent), "cluster": [find(x) for x in parent]})
+
+
+def _label_checksum(labels_ds) -> int:
+    """Order-invariant uint64 checksum of a (node, label) Dataset — one tiny
+    aggregate pass; equal checksums across rounds ⇒ converged."""
+
+    def _chk(df: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in df.columns or len(df) == 0:  # empty passthrough block
+            return pd.DataFrame({"h": np.array([0], dtype=np.uint64)})
+        h = pd.util.hash_pandas_object(
+            df["node"].astype(str) + "\x1f" + df["label"].astype(str), index=False
+        ).to_numpy(dtype=np.uint64)
+        return pd.DataFrame({"h": np.array([h.sum()], dtype=np.uint64)})
+
+    parts = labels_ds.map_batches(_chk, batch_format="pandas").to_pandas()
+    return int(np.array(parts["h"], dtype=np.uint64).sum(dtype=np.uint64)) if len(parts) else 0
+
+
+def connected_components_ds(pairs_ds, a: str = "id_a", b: str = "id_b",
+                            max_rounds: int = 16, num_parts: int = 8,
+                            driver_threshold: int = 2_000_000):
+    """Dataset of pairs → Dataset(node, cluster).
+
+    Dispatch is COUNTED, not assumed: the directed edge list is materialized
+    once (object store) and counted.  At or below ``driver_threshold``
+    directed edges the exact DSU runs driver-side (pairs provably fit);
+    above it — the adversarial boilerplate-replication case where pairs
+    approach corpus size — the distributed min-label rounds run with
+    Dataset joins only.  Both paths produce identical (node, min-id
+    cluster) output (property-tested)."""
     import ray.data as rd
+
+    from .grouped import distinct_block, hash_partitioned_agg
+
+    def _both(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                batch[[a, b]].rename(columns={a: "src", b: "dst"}),
+                batch[[a, b]].rename(columns={b: "src", a: "dst"}),
+            ],
+            ignore_index=True,
+        )
+
+    # materialize the directed edge list ONCE (object store, not driver) so
+    # each round's join does not re-run the upstream pair-generation DAG
+    edges_raw = pairs_ds.map_batches(_both, batch_format="pandas").materialize()
+    n_directed = edges_raw.count()
+    if n_directed == 0:
+        return rd.from_pandas(pd.DataFrame({"node": [], "cluster": []}))
+    if n_directed <= driver_threshold:
+        pdf = edges_raw.to_pandas()
+        return rd.from_pandas(dsu_pairs(pdf, "src", "dst"))
 
     from .grouped import PART_COL, _key_hash
 
-    # materialize the (small) edge list once; labels iterate on the driver
-    # loop but all heavy work (join+min) is a Dataset shuffle per round
-    edges_pdf = pairs_ds.to_pandas()[[a, b]]
-    if len(edges_pdf) == 0:
-        return rd.from_pandas(pd.DataFrame({"node": [], "cluster": []}))
-    both = pd.concat(
-        [
-            edges_pdf.rename(columns={a: "src", b: "dst"}),
-            edges_pdf.rename(columns={b: "src", a: "dst"}),
-        ],
-        ignore_index=True,
-    )
-    edges_ref = ray.put(both)
+    edges = edges_raw
 
-    labels = pd.DataFrame({"node": pd.concat([edges_pdf[a], edges_pdf[b]]).unique()})
-    labels["label"] = labels["node"]
-
-    for _ in range(max_rounds):
-        labels_ds = rd.from_pandas(labels).repartition(num_parts)
-
-        def _propagate(batch: pd.DataFrame) -> pd.DataFrame:
-            e = ray.get(edges_ref)
-            # labels of this batch's nodes flow to their neighbors
-            prop = e.merge(batch, left_on="src", right_on="node")[["dst", "label"]]
-            prop = prop.rename(columns={"dst": "node"})
-            return pd.concat([batch[["node", "label"]], prop], ignore_index=True)
-
-        cand = labels_ds.map_batches(_propagate, batch_format="pandas")
-        cand = cand.map_batches(
-            lambda df: df.assign(**{PART_COL: (_key_hash(df, ["node"]) % num_parts).astype("int64")}),
+    def _route(ds):
+        """Attach the shuffle partition id (hash of 'k') and repartition —
+        the common front half of every reduce-side merge below.  Inputs
+        always carry full columns (the tagging lambdas emit them even for
+        zero rows), so the assign works on empty frames too."""
+        keyed = ds.map_batches(
+            lambda d: d.assign(**{PART_COL: (_key_hash(d, ["k"]) % num_parts).astype("int64")}),
             batch_format="pandas",
         )
-        new_labels = (
-            cand.repartition(num_parts)
-            .groupby(PART_COL)
-            .map_groups(
-                lambda g: g.groupby("node", sort=False, as_index=False)["label"].min(),
-                batch_format="pandas",
-            )
-            .to_pandas()
-        )
-        merged = labels.merge(new_labels, on="node", suffixes=("_old", ""))
-        converged = (merged["label"] == merged["label_old"]).all()
-        labels = merged[["node", "label"]]
-        # pointer-jumping compression (label ← label(label)) to a local
-        # fixpoint: turns O(diameter) propagation into O(log n) rounds; the
-        # label table is |V(pairs)|-sized (small by assumption)
-        while True:
-            lut = dict(zip(labels["node"], labels["label"]))
-            jumped = labels["label"].map(lambda l: lut.get(l, l))
-            if (jumped == labels["label"]).all():
-                break
-            labels = pd.DataFrame({"node": labels["node"], "label": jumped})
-        if converged:
-            break
+        return keyed.repartition(num_parts).groupby(PART_COL)
 
-    return rd.from_pandas(labels.rename(columns={"label": "cluster"}))
+    def _propagate(labels_ds):
+        """(node,label) ⋈ edges on src → candidate (node=dst, label)."""
+        e = edges.map_batches(
+            lambda d: pd.DataFrame({"k": d.get("src", []), "dst": d.get("dst", []),
+                                    "label": None, "_s": 0}),
+            batch_format="pandas",
+        )
+        l = labels_ds.map_batches(
+            lambda d: pd.DataFrame({"k": d.get("node", []), "dst": None,
+                                    "label": d.get("label", []), "_s": 1}),
+            batch_format="pandas",
+        )
+
+        def _merge(g: pd.DataFrame) -> pd.DataFrame:
+            le = g[g["_s"] == 0]
+            ri = g[g["_s"] == 1]
+            m = le[["k", "dst"]].merge(ri[["k", "label"]], on="k", how="inner")
+            return pd.DataFrame({"node": m["dst"], "label": m["label"]})
+
+        return _route(e.union(l)).map_groups(_merge, batch_format="pandas")
+
+    def _jump(labels_ds):
+        """Pointer jumping: label ← label(label) — self reduce-side merge
+        keyed on the label value (min labels are themselves node ids)."""
+        a_side = labels_ds.map_batches(
+            lambda d: pd.DataFrame({"k": d.get("label", []), "node": d.get("node", []),
+                                    "jlabel": None, "_s": 0}),
+            batch_format="pandas",
+        )
+        b_side = labels_ds.map_batches(
+            lambda d: pd.DataFrame({"k": d.get("node", []), "node": None,
+                                    "jlabel": d.get("label", []), "_s": 1}),
+            batch_format="pandas",
+        )
+
+        def _merge(g: pd.DataFrame) -> pd.DataFrame:
+            le = g[g["_s"] == 0]
+            ri = g[g["_s"] == 1]
+            m = le[["k", "node"]].merge(ri[["k", "jlabel"]], on="k", how="left")
+            return pd.DataFrame({"node": m["node"], "label": m["jlabel"].fillna(m["k"])})
+
+        return _route(a_side.union(b_side)).map_groups(_merge, batch_format="pandas")
+
+    def _min_label_block(df: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in df.columns:  # empty passthrough block
+            return pd.DataFrame({"node": [], "label": []})
+        return df.groupby("node", sort=False, as_index=False)["label"].min()
+
+    labels = (
+        hash_partitioned_agg(
+            edges.map_batches(
+                lambda d: d[["src"]].rename(columns={"src": "node"})
+                if "src" in d.columns
+                else pd.DataFrame({"node": []}),
+                batch_format="pandas",
+            ),
+            ["node"],
+            distinct_block(["node"]),
+            num_parts=num_parts,
+        )
+        .map_batches(
+            lambda d: pd.DataFrame({"node": d.get("node", []), "label": d.get("node", [])}),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    prev_chk = _label_checksum(labels)
+    for _ in range(max_rounds):
+        cand = labels.union(_propagate(labels))
+        new_labels = hash_partitioned_agg(cand, ["node"], _min_label_block,
+                                          num_parts=num_parts)
+        labels = _jump(new_labels).materialize()
+        chk = _label_checksum(labels)
+        if chk == prev_chk:
+            break
+        prev_chk = chk
+
+    return labels.map_batches(
+        lambda d: d.rename(columns={"label": "cluster"}), batch_format="pandas"
+    )

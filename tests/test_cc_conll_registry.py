@@ -80,3 +80,26 @@ def test_registry_pipeline_runs(ray_session, pages_small):
     out = fn(read_pages(pages_small, columns=["url", "html"]))
     assert out.count() > 0
     assert "subj" in out.schema().names
+
+
+def test_cc_adversarial_chain(ray_session):
+    """Adversarial dup-rate shape: pairs ≈ nodes (one long chain, max
+    diameter), with ``driver_threshold=0`` forcing the DISTRIBUTED join
+    path — labels/edges stay Dataset-resident (never to_pandas'd);
+    pointer jumping converges in O(log n) rounds."""
+    n = 128
+    ids = [f"n{i:04d}" for i in range(n)]
+    pairs = pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+    got = connected_components_ds(
+        rd.from_pandas(pairs), driver_threshold=0, num_parts=2
+    ).to_pandas()
+    assert len(got) == n
+    assert (got["cluster"] == "n0000").all()
+
+
+def test_cc_empty_pairs(ray_session):
+    got = connected_components_ds(
+        rd.from_pandas(pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                     "id_b": pd.Series([], dtype=object)}))
+    ).to_pandas()
+    assert len(got) == 0
