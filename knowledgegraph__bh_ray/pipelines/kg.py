@@ -28,7 +28,7 @@ from ..stages.grouped import (
     keep_first_block,
     salted_grouped_agg,
 )
-from ..stages.linkage import CanonicalizeTriples, canonical_map_ds
+from ..stages.linkage import CanonicalizeTriples, canonical_map_ds, normalize_surface_series
 
 EXTRACT_BATCH_SIZE = 256
 
@@ -109,40 +109,60 @@ def _node_id_set(source) -> frozenset:
     return frozenset(ids["id"]) if "id" in ids.columns else frozenset()
 
 
+TRIPLE_COLS = ["url", "seq", "subj", "pred", "obj", "subj_name", "obj_name", "props_json"]
+
+
 def edges_ds(source, node_ids: frozenset | None = None, salt_buckets: int = 16,
-             use_bloom: bool = False):
+             use_bloom: bool = False, join_mode: str = "broadcast"):
     """Triple dedup + graph materialization (G2/G6): drop dangling endpoints
     (reference policy J1: both endpoints must be known concepts), then
     groupby (subj, pred, obj) → weight = occurrence count, representative
     names/props = global keep-first by seq.
 
-    ``use_bloom``: ship a Bloom filter of the id set ahead of the exact set
-    (the Ray-guide semi-join scale path — bits instead of strings when the
-    vocabulary is heavy to broadcast); the exact set still verifies the
-    bloom survivors, so the output is identical either way (tested)."""
+    ``join_mode``:
+      * ``"broadcast"`` (default) — the node-id vocabulary is broadcast via
+        ``ray.put`` and probed per batch; right when the vocabulary fits a
+        worker (the common corpus/vocab ratio).
+      * ``"bucketed"`` — NO broadcast: the distinct-id Dataset semi-joins
+        the triples by key hash (stages/grouped.reduce_side_semi_join),
+        once on subj and once on obj.  The scale path when even the
+        vocabulary outgrows worker memory.  Output identical (tested).
+
+    ``use_bloom`` (broadcast mode): ship a Bloom filter of the id set ahead
+    of the exact set — bits instead of strings; the exact set still
+    verifies the bloom survivors, so output is identical either way."""
     import ray
 
     from ..functions.bloom import BloomFilter
 
     triples = triples_raw_ds(source)
-    if node_ids is None:
-        node_ids = _node_id_set(source)
-    ids_ref = ray.put(node_ids)
-    bloom_ref = ray.put(BloomFilter.build(node_ids) if use_bloom else None)
+    if join_mode == "bucketed":
+        from ..stages.grouped import distinct_block, hash_partitioned_agg, reduce_side_semi_join
 
-    def _drop_dangling(batch: pd.DataFrame) -> pd.DataFrame:
-        bloom = ray.get(bloom_ref)
-        if bloom is not None and len(batch):
-            # vectorized probe: one (rows × n_hashes) broadcast per column
-            m0 = bloom.contains_many(batch["subj"].to_numpy()) & bloom.contains_many(
-                batch["obj"].to_numpy()
-            )
-            batch = batch[m0]
-        ids = ray.get(ids_ref)
-        m = batch["subj"].isin(ids) & batch["obj"].isin(ids)
-        return batch[m].reset_index(drop=True)
+        ids_ds = hash_partitioned_agg(
+            nodes_raw_ds(source).select_columns(["id"]), ["id"], distinct_block(["id"])
+        )
+        kept = reduce_side_semi_join(triples, TRIPLE_COLS, "subj", ids_ds, "id")
+        kept = reduce_side_semi_join(kept, TRIPLE_COLS, "obj", ids_ds, "id")
+    else:
+        if node_ids is None:
+            node_ids = _node_id_set(source)
+        ids_ref = ray.put(node_ids)
+        bloom_ref = ray.put(BloomFilter.build(node_ids) if use_bloom else None)
 
-    kept = triples.map_batches(_drop_dangling, batch_format="pandas")
+        def _drop_dangling(batch: pd.DataFrame) -> pd.DataFrame:
+            bloom = ray.get(bloom_ref)
+            if bloom is not None and len(batch):
+                # vectorized probe: one (rows × n_hashes) broadcast per column
+                m0 = bloom.contains_many(batch["subj"].to_numpy()) & bloom.contains_many(
+                    batch["obj"].to_numpy()
+                )
+                batch = batch[m0]
+            ids = ray.get(ids_ref)
+            m = batch["subj"].isin(ids) & batch["obj"].isin(ids)
+            return batch[m].reset_index(drop=True)
+
+        kept = triples.map_batches(_drop_dangling, batch_format="pandas")
     return salted_grouped_agg(
         kept,
         keys=["subj", "pred", "obj"],
@@ -158,33 +178,67 @@ def canonical_nodes_ds(source, salt_buckets: int = 16):
     return canonical_map_ds(nodes_raw_ds(source), salt_buckets=salt_buckets)
 
 
-def edges_canonical_ds(source, canon_map: dict | None = None, concurrency=(2, 16)):
+def edges_canonical_ds(source, canon_map: dict | None = None, concurrency=(2, 16),
+                       join_mode: str = "broadcast"):
     """Canonicalized, deduplicated edge table: endpoints rewritten to
-    canonical ids via the broadcast canonical map (actor pool — map fetched
-    once per actor), unknown blocking keys dropped, then the same salted
-    dedup-count as edges_ds."""
+    canonical ids, unknown blocking keys dropped, then the same salted
+    dedup-count as edges_ds.
+
+    ``join_mode="broadcast"`` (default): the canonical map is broadcast and
+    applied by an actor pool (map fetched once per actor) — right while the
+    entity vocabulary fits a worker.  ``join_mode="bucketed"``: NO
+    broadcast — the canonical-map Dataset is reduce-side-joined against the
+    triples on the blocking key (subj pass then obj pass), the scale path
+    for vocabularies beyond worker memory.  Output identical (tested)."""
     import ray
 
     triples = triples_raw_ds(source)
-    if canon_map is None:
-        canon_pdf = canonical_nodes_ds(source).to_pandas()
-        canon_map = (
-            {
-                k: (i, n)
-                for k, i, n in zip(
-                    canon_pdf["norm_key"], canon_pdf["canon_id"], canon_pdf["canon_name"]
-                )
-            }
-            if "norm_key" in canon_pdf.columns
-            else {}
+    if join_mode == "bucketed":
+        from ..stages.grouped import reduce_side_lookup
+
+        canon_ds = canonical_nodes_ds(source)
+
+        def _keys(d: pd.DataFrame) -> pd.DataFrame:
+            d = d.copy()
+            d["sk"] = normalize_surface_series(d["subj_name"])
+            d["ok"] = normalize_surface_series(d["obj_name"])
+            return d
+
+        with_keys = triples.map_batches(_keys, batch_format="pandas")
+        l1 = reduce_side_lookup(
+            with_keys, ["url", "seq", "pred", "props_json", "ok"], "sk",
+            canon_ds, "norm_key", ["canon_id", "canon_name"],
+        ).map_batches(
+            lambda d: d.rename(columns={"canon_id": "subj", "canon_name": "subj_name"}),
+            batch_format="pandas",
         )
-    ref = ray.put(canon_map)
-    linked = triples.map_batches(
-        CanonicalizeTriples,
-        fn_constructor_args=(ref,),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
+        linked = reduce_side_lookup(
+            l1, ["url", "seq", "pred", "props_json", "subj", "subj_name"], "ok",
+            canon_ds, "norm_key", ["canon_id", "canon_name"],
+        ).map_batches(
+            lambda d: d.rename(columns={"canon_id": "obj", "canon_name": "obj_name"}),
+            batch_format="pandas",
+        )
+    else:
+        if canon_map is None:
+            canon_pdf = canonical_nodes_ds(source).to_pandas()
+            canon_map = (
+                {
+                    k: (i, n)
+                    for k, i, n in zip(
+                        canon_pdf["norm_key"], canon_pdf["canon_id"], canon_pdf["canon_name"]
+                    )
+                }
+                if "norm_key" in canon_pdf.columns
+                else {}
+            )
+        ref = ray.put(canon_map)
+        linked = triples.map_batches(
+            CanonicalizeTriples,
+            fn_constructor_args=(ref,),
+            batch_format="pandas",
+            concurrency=concurrency,
+        )
     return salted_grouped_agg(
         linked,
         keys=["subj", "pred", "obj"],

@@ -140,6 +140,101 @@ def salted_grouped_agg(
 
 
 # ---------------------------------------------------------------------------
+# Reduce-side joins (no broadcast, no Arrow hash join)
+# ---------------------------------------------------------------------------
+#
+# The scale fallback for vocabulary broadcasts: when the small side outgrows
+# worker memory, co-locate both sides by key hash and merge per partition.
+# Expressed with the same tag → union → hash-partition → vectorized-pandas
+# machinery as the aggregations (Ray's Arrow hash join errors out when a
+# shuffle partition receives zero rows on one side, which skewed web keys
+# make routine — see stages/cc.py).
+
+
+def _tagged_union(ds_left, ds_right, cols: list[str], make_left, make_right):
+    def _l(d: pd.DataFrame) -> pd.DataFrame:
+        return make_left(d)
+
+    def _r(d: pd.DataFrame) -> pd.DataFrame:
+        return make_right(d)
+
+    return ds_left.map_batches(_l, batch_format="pandas").union(
+        ds_right.map_batches(_r, batch_format="pandas")
+    )
+
+
+def reduce_side_semi_join(ds, cols: list[str], key_col: str, keys_ds, keys_col: str,
+                          num_parts: int = DEFAULT_COMBINE_PARTITIONS):
+    """Keep ``ds`` rows whose ``key_col`` appears in ``keys_ds[keys_col]`` —
+    both sides arbitrarily large, routed by key hash, membership test
+    vectorized (`isin`) per partition."""
+
+    def _mk_data(d: pd.DataFrame) -> pd.DataFrame:
+        out = {c: d.get(c, []) for c in cols}
+        out["_k"] = d.get(key_col, [])
+        return pd.DataFrame(out).assign(_s=0)
+
+    def _mk_keys(d: pd.DataFrame) -> pd.DataFrame:
+        out = {c: None for c in cols}
+        out["_k"] = d.get(keys_col, pd.Series([], dtype=object))
+        return pd.DataFrame(out).assign(_s=1)
+
+    u = _tagged_union(ds, keys_ds, cols, _mk_data, _mk_keys)
+    keyed = u.map_batches(
+        lambda d: d.assign(**{PART_COL: (_key_hash(d, ["_k"]) % num_parts).astype("int64")}),
+        batch_format="pandas",
+    )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        le = g[g["_s"] == 0]
+        ri = g[g["_s"] == 1]
+        kept = le[le["_k"].isin(ri["_k"].unique())]
+        return kept[cols].reset_index(drop=True)
+
+    return keyed.repartition(num_parts).groupby(PART_COL).map_groups(
+        _merge, batch_format="pandas"
+    )
+
+
+def reduce_side_lookup(ds, cols: list[str], key_col: str, lut_ds, lut_key: str,
+                       lut_vals: list[str], how: str = "inner",
+                       num_parts: int = DEFAULT_COMBINE_PARTITIONS):
+    """``ds ⋈ lut`` on ``ds[key_col] == lut[lut_key]`` appending
+    ``lut_vals`` columns — the distributed form of a broadcast-dict lookup.
+    ``lut`` keys must be unique (a canonical map is)."""
+
+    def _mk_data(d: pd.DataFrame) -> pd.DataFrame:
+        out = {c: d.get(c, []) for c in cols}
+        out["_k"] = d.get(key_col, [])
+        for v in lut_vals:
+            out[v] = None
+        return pd.DataFrame(out).assign(_s=0)
+
+    def _mk_lut(d: pd.DataFrame) -> pd.DataFrame:
+        out = {c: None for c in cols}
+        out["_k"] = d.get(lut_key, pd.Series([], dtype=object))
+        for v in lut_vals:
+            out[v] = d.get(v, [])
+        return pd.DataFrame(out).assign(_s=1)
+
+    u = _tagged_union(ds, lut_ds, cols, _mk_data, _mk_lut)
+    keyed = u.map_batches(
+        lambda d: d.assign(**{PART_COL: (_key_hash(d, ["_k"]) % num_parts).astype("int64")}),
+        batch_format="pandas",
+    )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        le = g[g["_s"] == 0]
+        ri = g[g["_s"] == 1].drop_duplicates(subset=["_k"])
+        m = le[cols + ["_k"]].merge(ri[["_k"] + lut_vals], on="_k", how=how)
+        return m[cols + lut_vals].reset_index(drop=True)
+
+    return keyed.repartition(num_parts).groupby(PART_COL).map_groups(
+        _merge, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stock vectorized block aggregations
 # ---------------------------------------------------------------------------
 

@@ -45,3 +45,35 @@ def test_edges_bloom_path_identical(ray_session, pages_small):
         a.sort_values(key).reset_index(drop=True)[key + ["weight"]],
         b.sort_values(key).reset_index(drop=True)[key + ["weight"]],
     )
+
+
+def test_edges_bucketed_join_identical(ray_session, pages_small):
+    """Scale-path equivalence: the no-broadcast reduce-side semi-join
+    produces byte-identical edges to the broadcast path."""
+    from knowledgegraph__bh_ray.pipelines import kg
+
+    key = ["subj", "pred", "obj"]
+    a = kg.edges_ds(pages_small).to_pandas().sort_values(key).reset_index(drop=True)
+    b = (
+        kg.edges_ds(pages_small, join_mode="bucketed")
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    cols = key + ["subj_name", "obj_name", "weight"]
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
+def test_edges_canonical_bucketed_join_identical(ray_session, pages_small):
+    from knowledgegraph__bh_ray.pipelines import kg
+
+    key = ["subj", "pred", "obj"]
+    a = kg.edges_canonical_ds(pages_small).to_pandas().sort_values(key).reset_index(drop=True)
+    b = (
+        kg.edges_canonical_ds(pages_small, join_mode="bucketed")
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    cols = key + ["subj_name", "obj_name", "weight"]
+    pd.testing.assert_frame_equal(a[cols], b[cols])
