@@ -277,6 +277,16 @@ def q_kg_mentions_pattern(sf_dir: str):
     return pattern_mentions_ds(kg.extracted_ds(_prep(sf_dir)))
 
 
+def q_kg_mentions_crf(sf_dir: str):
+    """BiLSTM-CRF mention detector — the A2 model slot with REAL inference
+    math (numpy BiLSTM + CRF Viterbi, deterministic seeded weights; see
+    stages/crf.py).  Batch-composition-invariant, so distributed output is
+    deterministic; gated by tests/test_crf.py against a scalar oracle."""
+    from .stages.crf import crf_mentions_ds
+
+    return crf_mentions_ds(kg.extracted_ds(_prep(sf_dir)))
+
+
 def q_kg_node_parents(sf_dir: str):
     return kg.node_parents_ds(_prep(sf_dir))
 
@@ -462,6 +472,7 @@ QUERIES = {
     "kg_node_parents": q_kg_node_parents,
     "kg_links_all": q_kg_links_all,
     "kg_mentions_pattern": q_kg_mentions_pattern,
+    "kg_mentions_crf": q_kg_mentions_crf,
     "kg_extract_zh": q_kg_extract_zh,
     "kg_stats": q_kg_stats,
     "kg_entity_freq": q_kg_entity_freq,
