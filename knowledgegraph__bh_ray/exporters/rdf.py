@@ -110,6 +110,156 @@ def nodes_edges_to_jsonld(
     return merged
 
 
+# ---------------------------------------------------------------------------
+# OWL RDF/XML (op W7) — csv2owl.py semantics, serialized without rdflib
+# ---------------------------------------------------------------------------
+
+# csv2owl.py:10 — the OWL converter's larger class-type set
+CLASS_TYPES_OWL = {
+    "概念", "元素", "类别", "模型", "组件", "现象", "类型", "目标",
+    "方法", "算法", "属性", "操作", "主题", "任务", "组织",
+}
+
+_NCNAME_BAD = None  # compiled lazily (regex below)
+
+
+def _ncname(s: str) -> str:
+    """Sanitize a property/predicate key into a valid XML NCName (the
+    reference only does ':'→'_' and ' '→'_', csv2owl.py:81,112 — rdflib
+    then rejects anything unserializable; we sanitize fully instead)."""
+    import re as _re
+
+    global _NCNAME_BAD
+    if _NCNAME_BAD is None:
+        _NCNAME_BAD = _re.compile(r"[^\w.\-一-鿿]", _re.UNICODE)
+    out = _NCNAME_BAD.sub("_", s.replace(":", "_").replace(" ", "_"))
+    if not out or out[0].isdigit() or out[0] in ".-":
+        out = "_" + out
+    return out
+
+
+def nodes_edges_to_owl_triples(
+    nodes: pd.DataFrame, edges: pd.DataFrame, ontology_iri: str = ONTOLOGY_IRI + "#"
+) -> list[tuple]:
+    """nodes+edges → RDF triple list with csv2owl.py's exact semantics:
+
+      * ontology declaration (csv2owl.py:20);
+      * Class vs NamedIndividual by CLASS_TYPES_OWL (csv2owl.py:40-46);
+      * individuals typed by their parent when the parent is a class
+        (csv2owl.py:48-57); classes get rdfs:subClassOf (csv2owl.py:65-75);
+        ORDER-FREE delta: the reference resolves a parent only if its row
+        precedes the child in file order (id_to_uri insertion order) —
+        here any parent in the table resolves (documented, deterministic);
+      * props → owl:AnnotationProperty declared on FIRST use + literal
+        (csv2owl.py:79-87); relation predicates → owl:ObjectProperty +
+        label, NOT redeclared if the URI is already defined — so a
+        predicate sharing a prop's name keeps the AnnotationProperty
+        typing, a faithful reference quirk (csv2owl.py:117-121);
+      * dangling relations skipped (csv2owl.py:107-109).
+
+    Objects are ("uri", value) or ("lit", value) tuples."""
+    EX = ontology_iri
+    triples: list[tuple] = [(ontology_iri, f"{RDF}type", ("uri", f"{OWL}Ontology"))]
+    ids = set(nodes["id"])
+    is_class = {r["id"]: r["type"] in CLASS_TYPES_OWL for _, r in nodes.iterrows()}
+    declared: set[str] = set()
+
+    for _, row in nodes.iterrows():
+        uri = EX + row["id"]
+        if is_class[row["id"]]:
+            triples.append((uri, f"{RDF}type", ("uri", f"{OWL}Class")))
+        else:
+            triples.append((uri, f"{RDF}type", ("uri", f"{OWL}NamedIndividual")))
+            parent = (row.get("parent") or "").strip()
+            if parent in ids and is_class.get(parent):
+                triples.append((uri, f"{RDF}type", ("uri", EX + parent)))
+        triples.append((uri, f"{RDFS}label", ("lit", row["name"])))
+        parent = (row.get("parent") or "").strip()
+        if is_class[row["id"]] and parent in ids and is_class.get(parent):
+            triples.append((uri, f"{RDFS}subClassOf", ("uri", EX + parent)))
+        for k, v in _props(row).items():
+            if v and str(v).strip():
+                prop_uri = EX + _ncname(k)
+                if prop_uri not in declared:
+                    declared.add(prop_uri)
+                    triples.append((prop_uri, f"{RDF}type", ("uri", f"{OWL}AnnotationProperty")))
+                triples.append((uri, prop_uri, ("lit", str(v).strip())))
+
+    for _, rel in edges.iterrows():
+        if rel["subj"] not in ids or rel["obj"] not in ids:
+            continue  # dangling — csv2owl.py:107-109
+        pred_uri = EX + _ncname(str(rel["pred"]))
+        if pred_uri not in declared:
+            declared.add(pred_uri)
+            triples.append((pred_uri, f"{RDF}type", ("uri", f"{OWL}ObjectProperty")))
+            triples.append((pred_uri, f"{RDFS}label", ("lit", str(rel["pred"]))))
+        triples.append((EX + rel["subj"], pred_uri, ("uri", EX + rel["obj"])))
+    return triples
+
+
+def triples_to_rdfxml(triples: list[tuple], ontology_iri: str = ONTOLOGY_IRI + "#") -> str:
+    """Serialize the triple list as RDF/XML (rdf:Description blocks grouped
+    by subject — the layout rdflib's format='xml' emits)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    ns = {"rdf": RDF, "rdfs": RDFS, "owl": OWL, "ex": ontology_iri}
+
+    def qname(uri: str) -> str:
+        for p, base in ns.items():
+            if uri.startswith(base) and uri != base:
+                return f"{p}:{uri[len(base):]}"
+        return None
+
+    by_subj: dict[str, list] = {}
+    order: list[str] = []
+    for s, p, o in triples:
+        if s not in by_subj:
+            by_subj[s] = []
+            order.append(s)
+        by_subj[s].append((p, o))
+
+    lines = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        "<rdf:RDF",
+        *(f'  xmlns:{p}={quoteattr(base)}' for p, base in ns.items()),
+        ">",
+    ]
+    for s in order:
+        lines.append(f"  <rdf:Description rdf:about={quoteattr(s)}>")
+        for p, o in by_subj[s]:
+            q = qname(p)
+            if q is None:  # predicate outside known namespaces
+                continue
+            kind, val = o
+            if kind == "uri":
+                lines.append(f"    <{q} rdf:resource={quoteattr(val)}/>")
+            else:
+                lines.append(f"    <{q}>{escape(val)}</{q}>")
+        lines.append("  </rdf:Description>")
+    lines.append("</rdf:RDF>")
+    return "\n".join(lines) + "\n"
+
+
+def parse_rdfxml(text: str) -> set[tuple]:
+    """Parse RDF/XML (Description-block subset) back into the triple set —
+    the round-trip verifier used by tests."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    out: set[tuple] = set()
+    for desc in root:
+        s = desc.attrib.get(f"{{{RDF}}}about")
+        for el in desc:
+            # ElementTree tags are {namespace}local
+            pred = el.tag.replace("{", "").replace("}", "", 1)
+            res = el.attrib.get(f"{{{RDF}}}resource")
+            if res is not None:
+                out.add((s, pred, ("uri", res)))
+            else:
+                out.add((s, pred, ("lit", el.text or "")))
+    return out
+
+
 def _ttl_escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 

@@ -105,3 +105,62 @@ def test_page_graph_json_shape():
     u3 = [g for g in graph if g["URL"] == "u3"][0]
     assert u3["parents"][0]["name"] == "页一"
     assert u3["contents"] == ""  # placeholder has no crawled content
+
+
+def test_owl_rdfxml_roundtrip():
+    """W7: emit RDF/XML → parse → triple set identical to the triple model;
+    csv2owl.py semantics (Class vs NamedIndividual by the larger type set,
+    parent-typed individuals, subClassOf, AnnotationProperty-first quirk,
+    dangling relations dropped)."""
+    from knowledgegraph__bh_ray.exporters.rdf import (
+        CLASS_TYPES_OWL,
+        nodes_edges_to_owl_triples,
+        parse_rdfxml,
+        triples_to_rdfxml,
+    )
+
+    edges = pd.concat(
+        [
+            EDGES,
+            pd.DataFrame(
+                {
+                    "subj": [md5_id("机器学习")],
+                    "pred": ["关联"],
+                    "obj": ["deadbeef"],  # dangling → dropped
+                    "subj_name": ["机器学习"],
+                    "obj_name": ["鬼"],
+                    "props_json": ["{}"],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    triples = nodes_edges_to_owl_triples(NODES, edges)
+    RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    OWLNS = "http://www.w3.org/2002/07/owl#"
+    RDFSNS = "http://www.w3.org/2000/01/rdf-schema#"
+    uris = {s for s, _, _ in triples}
+
+    # ontology decl + typing
+    assert any(o == ("uri", f"{OWLNS}Ontology") for _, _, o in triples)
+    ml = [s for s in uris if s.endswith(md5_id("机器学习"))][0]
+    assert (ml, f"{RDFNS}type", ("uri", f"{OWLNS}Class")) in triples
+    # 类别 ∈ CLASS_TYPES_OWL → class; 人物 ∉ → individual typed by parent class
+    assert "类别" in CLASS_TYPES_OWL and "人物" not in CLASS_TYPES_OWL
+    zs = [s for s in uris if s.endswith(md5_id("张三"))][0]
+    assert (zs, f"{RDFNS}type", ("uri", f"{OWLNS}NamedIndividual")) in triples
+    assert (zs, f"{RDFNS}type", ("uri", ml)) in triples
+    sup = [s for s in uris if s.endswith(md5_id("监督学习"))][0]
+    assert (sup, f"{RDFSNS}subClassOf", ("uri", ml)) in triples
+    # dangling relation dropped
+    assert not any(o == ("uri", "deadbeef") or (isinstance(o, tuple) and o[1].endswith("deadbeef"))
+                   for _, _, o in triples)
+    # predicate declared as ObjectProperty with label
+    pred_uri = [s for s, p, o in triples if o == ("uri", f"{OWLNS}ObjectProperty")][0]
+    assert pred_uri.endswith("#包含")
+    assert (pred_uri, f"{RDFSNS}label", ("lit", "包含")) in triples
+
+    xml_text = triples_to_rdfxml(triples)
+    assert xml_text.startswith('<?xml version="1.0"')
+    back = parse_rdfxml(xml_text)
+    assert back == set(triples)
