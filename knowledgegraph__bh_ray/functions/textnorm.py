@@ -37,9 +37,13 @@ _RE_LATEX_INLINE = re.compile(r"\$(.*?)\$")
 # pdf_extractor.py:17 — math-symbol class (kept verbatim: it is the spec)
 _RE_MATH_SYMBOLS = re.compile(r"[\∑∏∫∮√∞∠∥≈≠≡≤≥±×÷→⇌⇔∨∧¬∃∀]")
 
-# pdf_extractor.py:174-178 — structural formula patterns
+# pdf_extractor.py:174-178 — structural formula patterns.  The reference's
+# superscript pattern r'\w^{.+}' leaves the ^ UNESCAPED — a mid-pattern
+# anchor, so the branch can never match (dead code).  Reproduced verbatim:
+# superscripts do NOT trigger the formula detector (quirk-parity fixture in
+# tests/test_textnorm.py).
 _RE_SUBSCRIPT = re.compile(r"\w_{.+}")
-_RE_SUPERSCRIPT = re.compile(r"\w\^{.+}")
+_RE_SUPERSCRIPT = re.compile(r"\w^{.+}")
 _RE_LATEX_CMD = re.compile(r"\\[a-zA-Z]+")
 
 # pdf_extractor.py:18-21 — private-use directory-marker glyphs

@@ -100,3 +100,72 @@ def test_md5_id_matches_duckdb():
             "SELECT substr(md5(?), 1, 8)", params=[name]
         ).fetchone()
         assert sql_id == md5_id(name)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 quirk fixtures — expectations hand-derived from md2csv.py rules
+# (NOT from engine output): the shared regex constants are invisible to the
+# DuckDB gate, so these pin the behavior the regexes must produce.
+# ---------------------------------------------------------------------------
+
+
+def test_multi_arrow_line_lazy_groups():
+    """md2csv.py:62 — group(1) is lazy, so the FIRST --> splits source; the
+    second --> lands inside the (also lazy) target group."""
+    out = parse_doc_lines(["- A --> B --> C : 关系 k=v"])
+    assert len(out.relations) == 1
+    r = out.relations[0]
+    assert r["subj_name"] == "A"
+    assert r["obj_name"] == "B --> C"
+    assert r["pred"] == "关系"
+    assert r["props"] == {"k": "v"}
+
+
+def test_quoted_value_containing_equals_is_mangled():
+    """md2csv.py:78 — the unquoted alternative [^\\s=]+ is tried first and
+    stops at '=', so c="q=2" yields value '"q' (the quoted branch never
+    fires); d=="v" yields nothing (value cannot start with '=')."""
+    out = parse_doc_lines(['- S --> T : r a=1 b="x y" c="q=2" d=="v"'])
+    r = out.relations[0]
+    assert r["props"] == {"a": "1", "b": '"x', "c": '"q'}
+
+
+def test_top_level_concepts_chain_as_parents():
+    """md2csv.py:50 — parent is the CURRENT cursor at creation, even for an
+    indent-1 concept: consecutive top-level concepts chain."""
+    out = parse_doc_lines(["## 【核心概念】", "- A @概念", "- C @概念"])
+    ids = {c["name"]: c for c in out.concepts.values()}
+    assert ids["A"]["parent"] == ""
+    assert ids["C"]["parent"] == ids["A"]["id"]
+
+
+def test_deep_concept_before_any_top_level_has_no_parent():
+    """Indent-2 concept with a None cursor: parent '' and cursor stays None
+    (md2csv.py:56-57 only indent==1 updates it)."""
+    out = parse_doc_lines(["## 【核心概念】", "-- D @概念", "- E @概念"])
+    ids = {c["name"]: c for c in out.concepts.values()}
+    assert ids["D"]["parent"] == ""
+    # E's parent: cursor still None when E created
+    assert ids["E"]["parent"] == ""
+
+
+def test_relation_source_dash_strip_is_source_only():
+    """md2csv.py:69 strips leading [\\s-]+ from SOURCE only; a dashy target
+    keeps its dashes."""
+    out = parse_doc_lines(["--- - X --> - Y : t"])
+    r = out.relations[0]
+    assert r["subj_name"] == "X"
+    assert r["obj_name"] == "- Y"
+
+
+def test_mixed_indent_tree_cursor_semantics():
+    """Indent-2 concepts attach to the current indent-1 cursor and do NOT
+    move it; a later indent-1 concept re-points the cursor."""
+    out = parse_doc_lines(
+        ["## 【核心概念】", "- A @概念", "-- B @概念", "-- C @概念", "- D @概念", "-- E @概念"]
+    )
+    ids = {c["name"]: c for c in out.concepts.values()}
+    a, d = ids["A"]["id"], ids["D"]["id"]
+    assert ids["B"]["parent"] == a and ids["C"]["parent"] == a
+    assert ids["D"]["parent"] == a  # chaining quirk
+    assert ids["E"]["parent"] == d

@@ -23,8 +23,36 @@ def test_math_density_triggers_formula():
 
 def test_structural_patterns_trigger_formula():
     assert is_math_formula("x_{i} plus")  # subscript
-    assert is_math_formula("y^{2} plus")  # superscript
     assert is_math_formula("use \\alpha here")  # latex command
+
+
+def test_superscript_branch_is_dead_like_reference():
+    """pdf_extractor.py:175 writes r'\\w^{.+}' with an UNESCAPED ^ — a
+    mid-pattern anchor, so the superscript branch never matches.  Parity
+    means superscripts do NOT trigger the formula detector."""
+    assert not is_math_formula("y^{2} plus")
+    assert not is_math_formula("E = mc^{2}")
+    # unless something else fires (subscript here)
+    assert is_math_formula("y^{2} and x_{i}")
+
+
+def test_quirk_fixture_suite():
+    """Hand-derived expected outputs for rule interactions (reference
+    behavior read from pdf_extractor.py / md_formatter.py, not from engine
+    output)."""
+    # $..$ conversion happens BEFORE the formula check, and \( counts as a
+    # LaTeX command (\\[a-zA-Z]+ does not match '\(' — '(' is not a letter),
+    # so a converted inline formula alone does NOT flag the paragraph
+    assert normalize_paragraph("和 $x+y$ 比") == "和 \\(x+y\\) 比"
+    # but a real command inside survives conversion and DOES flag it
+    assert normalize_paragraph("见 $\\frac{a}{b}$ 式") == "[公式]"
+    # image placeholder text never triggers the math branch
+    assert normalize_paragraph("![公式图](f.png)") == "[图片]"
+    # density counts symbols over TOTAL length including han text
+    assert not is_math_formula("≈" + "字" * 20)  # 1/21 < 0.1
+    assert is_math_formula("≈≈≈" + "字" * 7)  # 3/10 > 0.1
+    # marker replacement is per line, first marker wins, both glyphs
+    assert replace_dir_markers("A\nB") == "- ● A\n    - ◆ B"
 
 
 def test_dir_markers():
