@@ -334,19 +334,35 @@ def node_parents_ds(source):
 
 def bfs_reachable(pages_path: str, start_url: str, max_depth: int = 2, max_nodes: int = 100):
     """BFS frontier with depth/node caps (reference op T2,
-    constructor.py:135-159) over the page-link graph.  Control-flow op: the
-    edge table is computed distributed; the level loop runs on the driver
-    (at scale each frontier expansion is a Dataset semi-join per level).
+    constructor.py:135-159) over the page-link graph.
+
+    Scale shape: the edge table lives in the OBJECT STORE (materialized
+    once so levels don't re-run extraction); the driver holds only the
+    visited/frontier sets — bounded by ``max_nodes`` — and each level
+    fetches just the frontier's out-edges via a broadcast-frontier
+    semi-filter (frontier is cap-bounded, the canonical small side).
     Deterministic: frontier processed in sorted-url order per level."""
     import pandas as pd
+    import ray
 
-    edges = page_graph_edges_ds(pages_path).to_pandas()
-    adj = edges.groupby("src_url")["dst_url"].apply(sorted).to_dict()
+    edges = page_graph_edges_ds(pages_path).select_columns(["src_url", "dst_url"]).materialize()
 
     visited: dict[str, int] = {start_url: 0}
     frontier = [start_url]
     depth = 0
     while frontier and depth < max_depth and len(visited) < max_nodes:
+        f_ref = ray.put(frozenset(frontier))
+
+        def _frontier_edges(b: pd.DataFrame, f_ref=f_ref) -> pd.DataFrame:
+            f = ray.get(f_ref)
+            return b[b["src_url"].isin(f)].reset_index(drop=True)
+
+        lvl = edges.map_batches(_frontier_edges, batch_format="pandas").to_pandas()
+        adj = (
+            lvl.groupby("src_url")["dst_url"].apply(sorted).to_dict()
+            if len(lvl)
+            else {}
+        )
         nxt = []
         for u in sorted(frontier):
             for v in adj.get(u, []):
