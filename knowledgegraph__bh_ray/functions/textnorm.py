@@ -106,3 +106,10 @@ def normalize_paragraph(text: str) -> str:
     out = replace_math(out)
     out = replace_dir_markers(out)
     return out
+
+
+def normalize_pdf_page(text: str) -> str:
+    """The PDF path's default per-page pipeline (pdf_extractor.py:150-154):
+    latex → formula → markers, NO markup-image scrub (PDF images are
+    detected structurally per page, not as markup)."""
+    return replace_dir_markers(replace_math(convert_latex(text)))
