@@ -66,9 +66,21 @@ def brute_topk_ds(ds, queries: dict[int, np.ndarray], id_col: str, vec_col: str,
     from .grouped import coalesced_groupby
 
     partials = ds.map_batches(_partial, batch_format="pandas")
-    return coalesced_groupby(partials, "query_id", 4).map_groups(
+    ranked = coalesced_groupby(partials, "query_id", 4).map_groups(
         _final, batch_format="pandas"
     )
+    return ranked.map_batches(lambda d: _pin_rank_schema(d, id_col), batch_format="pandas")
+
+
+def _pin_rank_schema(d: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Give the empty passthrough blocks that fall out of map_groups (more
+    groupby partitions than query groups) the real output schema — silences
+    the executor's schema-mismatch warnings and keeps consumers typed."""
+    if len(d.columns) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in ("query_id", id_col, "rank")}
+        )
+    return d
 
 
 def lsh_buckets_batch(batch: pd.DataFrame, vec_col: str) -> pd.DataFrame:
@@ -147,6 +159,7 @@ def lsh_topk_ds(ds, queries: dict[int, np.ndarray], id_col: str, vec_col: str, k
 
     bucketed = ds.map_batches(lambda b: lsh_buckets_batch(b, vec_col), batch_format="pandas")
     partials = bucketed.map_batches(_partial, batch_format="pandas")
-    return coalesced_groupby(partials, "query_id", 4).map_groups(
+    ranked = coalesced_groupby(partials, "query_id", 4).map_groups(
         _final, batch_format="pandas"
     )
+    return ranked.map_batches(lambda d: _pin_rank_schema(d, id_col), batch_format="pandas")
