@@ -132,6 +132,132 @@ def events_window_ds(sf_dir: str):
     return hash_partitioned_agg(rows, KEYS, _agg)
 
 
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def events_quantiles_ds(sf_dir: str, qs: tuple = QUANTILES):
+    """EXACT distributed quantiles per event_type over integer cents.
+
+    The 100-TB shape: per-batch partial = a (event_type, cents) histogram
+    (value_counts, vectorized), the only shuffle is over histogram rows —
+    |types| × |distinct cents|, independent of row count — and the final
+    per-type quantile walk is one cumsum over the merged histogram.
+    Semantics = DuckDB ``percentile_disc``: 1-indexed position
+    ``max(1, ceil(q·N))`` of the ascending values (verified empirically)."""
+    import math
+
+    from ..stages.grouped import coalesced_groupby, hash_partitioned_agg
+
+    def _hist(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(batch["value"] * 100).astype("int64")
+        vc = (
+            pd.DataFrame({"event_type": batch["event_type"], "cents": cents})
+            .groupby(["event_type", "cents"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        vc["n"] = vc["n"].astype("int64")
+        return vc
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "cents"], sort=False, as_index=False)["n"].sum()
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    hist = hash_partitioned_agg(ev.map_batches(_hist, batch_format="pandas"),
+                                ["event_type", "cents"], _sum, num_parts=4)
+
+    def _quantiles(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("cents", kind="mergesort")
+        cents = g["cents"].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        out = {"event_type": [], "q": [], "value_cents": []}
+        for q in qs:
+            pos = max(1, math.ceil(q * total))
+            idx = int(np.searchsorted(cum, pos, side="left"))
+            out["event_type"].append(g["event_type"].iloc[0])
+            out["q"].append(float(q))
+            out["value_cents"].append(int(cents[idx]))
+        df = pd.DataFrame(out)
+        df["value_cents"] = df["value_cents"].astype("int64")
+        return df
+
+    return coalesced_groupby(hist, "event_type", 4).map_groups(
+        _quantiles, batch_format="pandas"
+    )
+
+
+def top_anchor_texts_ds(sf_dir: str, links_all_ds, k: int = 3):
+    """Per-key top-k (heavy hitters): the k most frequent anchor texts per
+    link target.  Count via the salted three-level machinery (Zipfian hrefs
+    spread over salt buckets), then per-href rank inside hash partitions —
+    one vectorized sort + groupby-head per partition, never per-key Python.
+    Ties broken by text (deterministic)."""
+    from ..stages.grouped import PART_COL, _key_hash, count_first_block, salted_grouped_agg
+
+    def _to_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["href", "text"]].copy()
+        out["url"] = batch["url"]  # salt origin
+        out["seq"] = ""  # unused representative order
+        return out
+
+    counts = salted_grouped_agg(
+        links_all_ds.map_batches(_to_rows, batch_format="pandas"),
+        keys=["href", "text"],
+        block_agg=count_first_block(["href", "text"], "seq", weight_col="n"),
+        salt_from="url",
+    )
+
+    num_parts = 8
+
+    def _route(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[["href", "text", "n"]].copy()
+        d[PART_COL] = (_key_hash(d, ["href"]) % num_parts).astype("int64")
+        return d
+
+    def _topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["href", "n", "text"], ascending=[True, False, True],
+                              kind="mergesort")
+        out = g.groupby("href", sort=False).head(k).reset_index(drop=True)
+        out["rank"] = out.groupby("href", sort=False).cumcount().astype("int64") + 1
+        return out[["href", "text", "n", "rank"]]
+
+    return (
+        counts.map_batches(_route, batch_format="pandas")
+        .repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_topk, batch_format="pandas")
+    )
+
+
+def stratified_sample_ds(sf_dir: str, per_stratum: int = 20):
+    """Deterministic stratified sample: the ``per_stratum`` docs per lang
+    with the smallest ``md5(doc_id)`` — hash-ranking makes the sample a
+    pure function of the data (reproducible across engines and runs, SQL-
+    mirrorable), and per-batch partial top-n per stratum is ASSOCIATIVE, so
+    it merges like any other combiner: no shuffle of the corpus, only of
+    |langs| × n candidate rows."""
+    import hashlib
+
+    from ..stages.grouped import hash_partitioned_agg
+
+    def _rank(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id", "lang"]].copy()
+        out["h"] = [hashlib.md5(str(d).encode()).hexdigest() for d in out["doc_id"]]
+        return out
+
+    def _topn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return g.groupby("lang", sort=False).head(per_stratum).reset_index(drop=True)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    ranked = docs.map_batches(_rank, batch_format="pandas")
+    # partial top-n per batch (associative) → one tiny combine per lang hash
+    return hash_partitioned_agg(ranked.map_batches(_topn, batch_format="pandas"),
+                                ["lang"], _topn, num_parts=4)
+
+
 def events_sessionize_ds(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization per user (session = events ≤ gap apart).
 

@@ -400,6 +400,45 @@ def q_events_sessionize(sf_dir: str):
     return relational.events_sessionize_ds(sf_dir)
 
 
+def q_events_quantiles(sf_dir: str):
+    return relational.events_quantiles_ds(sf_dir)
+
+
+def q_top_anchor_texts(sf_dir: str):
+    """Per-key top-k (heavy hitters): most frequent anchor texts per link
+    target, salted count + partitioned rank."""
+    return relational.top_anchor_texts_ds(sf_dir, q_kg_links_all(sf_dir), k=3)
+
+
+def q_sample_stratified(sf_dir: str):
+    return relational.stratified_sample_ds(sf_dir, per_stratum=20)
+
+
+def q_kg_pages_without_links(sf_dir: str):
+    """Anti-join (NOT IN): crawled pages no other page links to (zero
+    inbound scoped links) — reduce-side anti semi-join, no broadcast (the
+    matching side is corpus-sized)."""
+    from .stages.grouped import distinct_block, hash_partitioned_agg, reduce_side_anti_join
+
+    pages = _prep(sf_dir)
+    ext = kg.extracted_ds(pages).select_columns(["url", "title", "n_paras"])
+    targets = hash_partitioned_agg(
+        kg.links_ds(pages).select_columns(["link_url"]), ["link_url"],
+        distinct_block(["link_url"]),
+    )
+    out = reduce_side_anti_join(ext, ["url", "title", "n_paras"], "url", targets, "link_url")
+
+    def _pin(d: pd.DataFrame) -> pd.DataFrame:
+        if "n_paras" not in d.columns:  # empty passthrough block
+            return pd.DataFrame(
+                {"url": pd.Series([], dtype=object), "title": pd.Series([], dtype=object),
+                 "n_paras": pd.Series([], dtype="int64")}
+            )
+        return d.assign(n_paras=d["n_paras"].astype("int64"))
+
+    return out.map_batches(_pin, batch_format="pandas")
+
+
 def q_simsearch_topk(sf_dir: str):
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return simsearch.brute_topk_ds(emb, _query_vectors(sf_dir), "vec_id", "embedding", k=10)
@@ -497,6 +536,10 @@ QUERIES = {
     "top_parts": q_top_parts,
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
+    "events_quantiles": q_events_quantiles,
+    "top_anchor_texts": q_top_anchor_texts,
+    "sample_stratified": q_sample_stratified,
+    "kg_pages_without_links": q_kg_pages_without_links,
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
     "embed_concepts": q_embed_concepts,
@@ -723,6 +766,53 @@ def build_oracle_sql() -> dict[str, str]:
                    sum(CAST(FLOOR(value * 100) AS BIGINT))::BIGINT AS sum_value_cents,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_quantiles": """
+            WITH e AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_type, CAST(0.25 AS DOUBLE) AS q,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS value_cents
+            FROM e GROUP BY event_type
+            UNION ALL
+            SELECT event_type, CAST(0.5 AS DOUBLE),
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+            FROM e GROUP BY event_type
+            UNION ALL
+            SELECT event_type, CAST(0.75 AS DOUBLE),
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)
+            FROM e GROUP BY event_type
+            UNION ALL
+            SELECT event_type, CAST(0.9 AS DOUBLE),
+                   percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+            FROM e GROUP BY event_type
+            UNION ALL
+            SELECT event_type, CAST(0.99 AS DOUBLE),
+                   percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)
+            FROM e GROUP BY event_type
+        """,
+        "top_anchor_texts": f"""
+            WITH c AS (SELECT href, text, count(*) AS n
+                       FROM read_parquet('{_G}/links_all.parquet') GROUP BY href, text),
+                 r AS (SELECT href, text, n,
+                              row_number() OVER (PARTITION BY href
+                                                 ORDER BY n DESC, text) AS rank
+                       FROM c)
+            SELECT href, text, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
+        """,
+        "sample_stratified": """
+            WITH r AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+                       FROM documents),
+                 t AS (SELECT doc_id, lang, h,
+                              row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+                       FROM r)
+            SELECT doc_id, lang, h FROM t WHERE rn <= 20
+        """,
+        "kg_pages_without_links": f"""
+            SELECT url, title, n_paras FROM read_parquet('{_G}/extracted.parquet')
+            WHERE url NOT IN (
+                SELECT 'https://baike.baidu.com' || split_part(href, '?', 1)
+                FROM read_parquet('{_G}/links_raw.parquet')
+                WHERE href LIKE '/item/%')
         """,
         "events_sessionize": """
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

@@ -196,6 +196,39 @@ def reduce_side_semi_join(ds, cols: list[str], key_col: str, keys_ds, keys_col: 
     )
 
 
+def reduce_side_anti_join(ds, cols: list[str], key_col: str, keys_ds, keys_col: str,
+                          num_parts: int = DEFAULT_COMBINE_PARTITIONS):
+    """Keep ``ds`` rows whose ``key_col`` does NOT appear in
+    ``keys_ds[keys_col]`` (NOT IN / EXCEPT shape) — both sides arbitrarily
+    large; a broadcast would be corpus-sized when most rows match."""
+
+    def _mk_data(d: pd.DataFrame) -> pd.DataFrame:
+        out = {c: d.get(c, []) for c in cols}
+        out["_k"] = d.get(key_col, [])
+        return pd.DataFrame(out).assign(_s=0)
+
+    def _mk_keys(d: pd.DataFrame) -> pd.DataFrame:
+        out = {c: None for c in cols}
+        out["_k"] = d.get(keys_col, pd.Series([], dtype=object))
+        return pd.DataFrame(out).assign(_s=1)
+
+    u = _tagged_union(ds, keys_ds, cols, _mk_data, _mk_keys)
+    keyed = u.map_batches(
+        lambda d: d.assign(**{PART_COL: (_key_hash(d, ["_k"]) % num_parts).astype("int64")}),
+        batch_format="pandas",
+    )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        le = g[g["_s"] == 0]
+        ri = g[g["_s"] == 1]
+        kept = le[~le["_k"].isin(ri["_k"].unique())]
+        return kept[cols].reset_index(drop=True)
+
+    return keyed.repartition(num_parts).groupby(PART_COL).map_groups(
+        _merge, batch_format="pandas"
+    )
+
+
 def reduce_side_lookup(ds, cols: list[str], key_col: str, lut_ds, lut_key: str,
                        lut_vals: list[str], how: str = "inner",
                        num_parts: int = DEFAULT_COMBINE_PARTITIONS):

@@ -104,3 +104,56 @@ def test_rag_context_format():
     out = format_rag_context(concepts, relations)
     assert "相关概念：" in out and "机器学习 (相似度: 0.9123)" in out
     assert "相关关系：" in out and "A 包含 B" in out
+
+
+def test_reduce_side_anti_join_equals_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from knowledgegraph__bh_ray.stages.grouped import reduce_side_anti_join
+
+    data = pd.DataFrame({"k": [f"k{i}" for i in range(30)], "v": range(30)})
+    keys = pd.DataFrame({"kk": [f"k{i}" for i in range(0, 30, 3)]})
+    got = (
+        reduce_side_anti_join(rd.from_pandas(data), ["k", "v"], "k",
+                              rd.from_pandas(keys), "kk")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = data[~data["k"].isin(keys["kk"])].sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert [int(x) for x in got["v"]] == want["v"].tolist()
+
+
+def test_events_quantiles_match_numpy_rule(ray_session):
+    """Engine quantiles over sf0.001 events equal the percentile_disc rule
+    (pos = max(1, ceil(q*N)) of the ascending integer cents) computed
+    directly in pandas."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray.pipelines.relational import events_quantiles_ds
+
+    got = events_quantiles_ds("/root/testdata/sf0.001").to_pandas()
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["cents"] = np.floor(ev["value"] * 100).astype("int64")
+    for (etype, q), grp in got.groupby(["event_type", "q"]):
+        vals = np.sort(ev.loc[ev["event_type"] == etype, "cents"].to_numpy())
+        pos = max(1, math.ceil(q * len(vals)))
+        assert int(grp["value_cents"].iloc[0]) == int(vals[pos - 1]), (etype, q)
+
+
+def test_stratified_sample_deterministic_and_sized(ray_session):
+    from knowledgegraph__bh_ray.pipelines.relational import stratified_sample_ds
+
+    a = stratified_sample_ds("/root/testdata/sf0.001", per_stratum=5).to_pandas()
+    b = stratified_sample_ds("/root/testdata/sf0.001", per_stratum=5).to_pandas()
+    key = ["lang", "doc_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    assert (a.groupby("lang").size() <= 5).all()
