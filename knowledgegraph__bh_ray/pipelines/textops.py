@@ -151,3 +151,115 @@ def fingerprint_ds(sf_dir: str, window: int = 4, k: int = 8):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(_batch, batch_format="pandas")
+
+
+def tfidf_terms_ds(sf_dir: str, k: int = 10):
+    """TF-IDF table: the top-``k`` terms of each document by term frequency,
+    joined with each term's corpus document frequency — integer columns
+    only, so the DuckDB mirror hashes exactly (the float idf = ln(N/df) is
+    one vectorized expression away for a consumer).
+
+    Scale shape: per-batch tokenize+count is vectorized (explode + groupby
+    inside the batch); (doc, term, tf) rows aggregate through the
+    hash-partitioned combine; df is a second small aggregate over distinct
+    (doc, term); the df attach is a reduce-side lookup (NO broadcast — a
+    corpus-wide term vocabulary does not fit a worker); top-k per doc is a
+    partitioned rank, never per-key Python."""
+    from ..stages.grouped import (
+        PART_COL,
+        _key_hash,
+        hash_partitioned_agg,
+        reduce_side_lookup,
+    )
+
+    def _term_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "term": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            for t in _tokens(text.lower()):
+                rows["doc_id"].append(doc_id)
+                rows["term"].append(t)
+        df = pd.DataFrame(rows)
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype=object),
+                                 "tf": pd.Series([], dtype="int64")})
+        out = df.groupby(["doc_id", "term"], sort=False).size().rename("tf").reset_index()
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    def _sum_tf(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_id", "term"], sort=False, as_index=False)["tf"].sum()
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = hash_partitioned_agg(
+        docs.map_batches(_term_counts, batch_format="pandas"),
+        ["doc_id", "term"], _sum_tf, num_parts=8,
+    )
+
+    def _df_rows(d: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in d.columns:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"term": d["term"], "df": np.int64(1)})
+
+    def _sum_df(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("term", sort=False, as_index=False)["df"].sum()
+
+    dfreq = hash_partitioned_agg(tf.map_batches(_df_rows, batch_format="pandas"),
+                                 ["term"], _sum_df, num_parts=8)
+
+    joined = reduce_side_lookup(tf, ["doc_id", "term", "tf"], "term",
+                                dfreq, "term", ["df"])
+
+    num_parts = 8
+
+    def _route(d: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in d.columns:
+            d = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "term": pd.Series([], dtype=object),
+                              "tf": pd.Series([], dtype="int64"),
+                              "df": pd.Series([], dtype="int64")})
+        d = d.copy()
+        d[PART_COL] = (_key_hash(d, ["doc_id"]) % num_parts).astype("int64")
+        return d
+
+    def _topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "tf", "term"], ascending=[True, False, True],
+                              kind="mergesort")
+        out = g.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+        out["rank"] = out.groupby("doc_id", sort=False).cumcount().astype("int64") + 1
+        for c in ("doc_id", "tf", "df", "rank"):
+            out[c] = out[c].astype("int64")
+        return out[["doc_id", "term", "tf", "df", "rank"]]
+
+    return (
+        joined.map_batches(_route, batch_format="pandas")
+        .repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_topk, batch_format="pandas")
+    )
+
+
+def distinct_users_by_type_ds(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct users per event_type — the
+    two-level shape (distinct pairs via hash-partitioned dedup, then a tiny
+    count) that stays exact at any scale, unlike a naive per-batch set."""
+    from ..stages.grouped import distinct_block, hash_partitioned_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = hash_partitioned_agg(
+        ev, ["event_type", "user_id"], distinct_block(["event_type", "user_id"]),
+        num_parts=8,
+    )
+
+    def _count_rows(d: pd.DataFrame) -> pd.DataFrame:
+        if "event_type" not in d.columns:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "n_users": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"event_type": d["event_type"], "n_users": np.int64(1)})
+
+    def _sum(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("event_type", sort=False, as_index=False)["n_users"].sum()
+
+    return hash_partitioned_agg(pairs.map_batches(_count_rows, batch_format="pandas"),
+                                ["event_type"], _sum, num_parts=4)

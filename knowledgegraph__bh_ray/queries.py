@@ -400,6 +400,14 @@ def q_events_sessionize(sf_dir: str):
     return relational.events_sessionize_ds(sf_dir)
 
 
+def q_tfidf_terms(sf_dir: str):
+    return textops.tfidf_terms_ds(sf_dir, k=10)
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    return textops.distinct_users_by_type_ds(sf_dir)
+
+
 def q_events_quantiles(sf_dir: str):
     return relational.events_quantiles_ds(sf_dir)
 
@@ -447,6 +455,13 @@ def q_simsearch_topk(sf_dir: str):
 def q_simsearch_lsh(sf_dir: str):
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return simsearch.lsh_topk_ds(emb, _query_vectors(sf_dir), "vec_id", "embedding", k=10)
+
+
+def q_simsearch_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (deterministic k-means centroids; recall
+    property-tested vs brute force)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return simsearch.ivf_topk_ds(emb, _query_vectors(sf_dir), "vec_id", "embedding", k=10)
 
 
 def q_dedup_embedding(sf_dir: str):
@@ -537,11 +552,14 @@ QUERIES = {
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
     "events_quantiles": q_events_quantiles,
+    "tfidf_terms": q_tfidf_terms,
+    "distinct_users_by_type": q_distinct_users_by_type,
     "top_anchor_texts": q_top_anchor_texts,
     "sample_stratified": q_sample_stratified,
     "kg_pages_without_links": q_kg_pages_without_links,
     "simsearch_topk": q_simsearch_topk,
     "simsearch_lsh": q_simsearch_lsh,
+    "simsearch_ivf": q_simsearch_ivf,
     "embed_concepts": q_embed_concepts,
     "embed_relations": q_embed_relations,
     "rag_topk": q_rag_topk,
@@ -766,6 +784,26 @@ def build_oracle_sql() -> dict[str, str]:
                    sum(CAST(FLOOR(value * 100) AS BIGINT))::BIGINT AS sum_value_cents,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "tfidf_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+              FROM documents WHERE trim(text) != ''
+            ),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+            r AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                         row_number() OVER (PARTITION BY tf.doc_id
+                                            ORDER BY tf.tf DESC, tf.term) AS rank
+                  FROM tf JOIN dfreq USING (term))
+            SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type
         """,
         "events_quantiles": """
             WITH e AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents

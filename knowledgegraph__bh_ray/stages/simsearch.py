@@ -163,3 +163,104 @@ def lsh_topk_ds(ds, queries: dict[int, np.ndarray], id_col: str, vec_col: str, k
         _final, batch_format="pandas"
     )
     return ranked.map_batches(lambda d: _pin_rank_schema(d, id_col), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+_KMEANS_ITERS = 5
+
+
+def _hash_ranked_sample(ds, id_col: str, vec_col: str, m: int):
+    """Deterministic corpus sample: the m rows with the smallest
+    md5(id) — per-batch partial top-m (associative), tiny driver merge."""
+    import hashlib
+
+    def _top(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[[id_col, vec_col]].copy()
+        b["_h"] = [hashlib.md5(str(i).encode()).hexdigest() for i in b[id_col]]
+        return b.sort_values("_h", kind="mergesort").head(m)
+
+    pdf = ds.map_batches(_top, batch_format="pandas").to_pandas()
+    return pdf.sort_values("_h", kind="mergesort").head(m).reset_index(drop=True)
+
+
+def train_centroids(ds, id_col: str, vec_col: str, n_centroids: int = IVF_CENTROIDS):
+    """Spherical k-means on a deterministic hash-ranked sample (driver-side
+    — the sample is n_centroids·8 rows, vocabulary-scale).  Seeded init =
+    the first n_centroids sample vectors; empty clusters keep their
+    previous centroid, so the result is a pure function of the data."""
+    sample = _hash_ranked_sample(ds, id_col, vec_col, n_centroids * 8)
+    M = _normalize(np.vstack(sample[vec_col].to_numpy()).astype(np.float64))
+    C = M[: min(n_centroids, len(M))].copy()
+    for _ in range(_KMEANS_ITERS):
+        assign = (M @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            members = M[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk_ds(ds, queries: dict[int, np.ndarray], id_col: str, vec_col: str,
+                k: int = 10, n_centroids: int = IVF_CENTROIDS, n_probe: int = IVF_PROBE):
+    """IVF ANN top-k: vectors are assigned to their nearest centroid (one
+    broadcast matmul per batch); each query scores only the rows of its
+    ``n_probe`` nearest centroid lists, so per-query work is
+    |probed lists|·dim instead of |corpus|·dim.  Recall vs brute force is
+    property-tested (tests/test_simsearch.py)."""
+    import ray
+
+    C = train_centroids(ds, id_col, vec_col, n_centroids)
+    qids = sorted(queries.keys())
+    Qn = _normalize(np.vstack([queries[q] for q in qids]).astype(np.float64))
+    probe_lists = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]  # (n_q, n_probe)
+    ref = ray.put((qids, Qn, C, probe_lists))
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qids, Qn, C, probe_lists = ray.get(ref)
+        M = _normalize(np.vstack(batch[vec_col].to_numpy()).astype(np.float64))
+        ids = batch[id_col].to_numpy()
+        assign = (M @ C.T).argmax(axis=1)
+        out = {"query_id": [], id_col: [], "sim": []}
+        for qi, qid in enumerate(qids):
+            mask = np.isin(assign, probe_lists[qi])
+            if not mask.any():
+                continue
+            sims = Qn[qi] @ M[mask].T
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            top = np.argpartition(-sims, kk - 1)[:kk] if len(sims) > kk else np.arange(len(sims))
+            out["query_id"].extend([qid] * len(top))
+            out[id_col].extend(sub_ids[top])
+            out["sim"].extend(sims[top])
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out["query_id"], dtype="int64"),
+                id_col: pd.Series(out[id_col], dtype="int64"),
+                "sim": pd.Series(out["sim"], dtype="float64"),
+            }
+        )
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", id_col], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype("int64"),
+                id_col: g[id_col].astype("int64"),
+                "rank": np.arange(1, len(g) + 1, dtype="int64"),
+            }
+        )
+
+    from .grouped import coalesced_groupby
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    ranked = coalesced_groupby(partials, "query_id", 4).map_groups(
+        _final, batch_format="pandas"
+    )
+    return ranked.map_batches(lambda d: _pin_rank_schema(d, id_col), batch_format="pandas")

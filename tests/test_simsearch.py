@@ -50,3 +50,34 @@ def test_lsh_topk_recall(ray_session):
         assert qid in g
         recall = len(g & set(truth[qid])) / 10
         assert recall >= 0.3  # approximate path: bounded quality, not exact
+
+
+def test_ivf_recall_floor(ray_session):
+    """IVF path: deterministic centroids; top-k recall vs brute force above
+    a floor; results are a pure function of the data (two runs equal)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from knowledgegraph__bh_ray.stages import simsearch
+
+    sf = "/root/testdata/sf0.001"
+    emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()[["vec_id", "embedding"]]
+    qv = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+        for r in emb.head(3).itertuples()
+    }
+    ds = rd.from_pandas(emb)
+    brute = simsearch.brute_topk_ds(rd.from_pandas(emb), qv, "vec_id", "embedding", k=10).to_pandas()
+    ivf = simsearch.ivf_topk_ds(ds, qv, "vec_id", "embedding", k=10).to_pandas()
+    ivf2 = simsearch.ivf_topk_ds(rd.from_pandas(emb), qv, "vec_id", "embedding", k=10).to_pandas()
+    key = ["query_id", "rank"]
+    assert ivf.sort_values(key).reset_index(drop=True).equals(
+        ivf2.sort_values(key).reset_index(drop=True)
+    )
+    recalls = []
+    for q in qv:
+        b = set(brute.loc[brute["query_id"] == q, "vec_id"])
+        a = set(ivf.loc[ivf["query_id"] == q, "vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
