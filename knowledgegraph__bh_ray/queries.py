@@ -277,6 +277,42 @@ def q_kg_mentions_pattern(sf_dir: str):
     return pattern_mentions_ds(kg.extracted_ds(_prep(sf_dir)))
 
 
+def q_kg_pagerank(sf_dir: str):
+    """PageRank over the page-link graph (10 iterations, d=0.85) — the
+    iterative-join round machinery of stages/pagerank.py; ranks rounded to
+    integer micros so output is stable against float summation order."""
+    from .stages.pagerank import pagerank_ds
+
+    ranks = pagerank_ds(kg.page_graph_edges_ds(_prep(sf_dir)))
+
+    def _round(d: pd.DataFrame) -> pd.DataFrame:
+        if "rank" not in d.columns:
+            return pd.DataFrame({"url": pd.Series([], dtype=object),
+                                 "rank_micros": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"url": d["url"], "rank_micros": np.rint(d["rank"] * 1e6).astype("int64")}
+        )
+
+    return ranks.map_batches(_round, batch_format="pandas")
+
+
+def q_kg_page_components(sf_dir: str):
+    """Connected components of the page-link graph (undirected) — the same
+    counted-dispatch CC as dedup_clusters, on graph edges."""
+    from .stages.cc import connected_components_ds
+
+    edges = kg.page_graph_edges_ds(_prep(sf_dir))
+    return connected_components_ds(edges, a="src_url", b="dst_url")
+
+
+def q_media_features(sf_dir: str):
+    """Media feature extraction through the actor-pool decode slot (decoder
+    is the marked deterministic stand-in — no media libs in this env)."""
+    from .stages.media import media_features_ds
+
+    return media_features_ds(read_pages(_prep(sf_dir), columns=["url", "html"]))
+
+
 def q_kg_mentions_crf(sf_dir: str):
     """BiLSTM-CRF mention detector — the A2 model slot with REAL inference
     math (numpy BiLSTM + CRF Viterbi, deterministic seeded weights; see
@@ -533,6 +569,9 @@ QUERIES = {
     "kg_bfs": q_kg_bfs,
     "kg_page_graph_nodes": q_kg_page_graph_nodes,
     "kg_page_graph_edges": q_kg_page_graph_edges,
+    "kg_pagerank": q_kg_pagerank,
+    "kg_page_components": q_kg_page_components,
+    "media_features": q_media_features,
     "kg_chunks": q_kg_chunks,
     "dedup_clusters": q_dedup_clusters,
     "media_meta": q_media_meta,
