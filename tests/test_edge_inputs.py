@@ -59,3 +59,47 @@ def test_page_without_grammar(tmp_path, ray_session):
     assert len(nodes) == 0
     edges = kg.edges_ds(str(d)).to_pandas()
     assert len(edges) == 0
+
+
+def test_new_ops_on_empty_inputs(ray_session):
+    """Round-2 ops on zero-row inputs: no crashes, typed/empty results."""
+    import numpy as np
+
+    from knowledgegraph__bh_ray.pipelines.relational import (
+        events_quantiles_ds,
+        top_anchor_texts_ds,
+    )
+    from knowledgegraph__bh_ray.stages.dedup import (
+        minhash_signatures_batch,
+        simhash64_batch,
+    )
+    from knowledgegraph__bh_ray.stages.crf import CRFNER
+
+    # vectorized signature kernels: zero docs, and docs with zero tokens
+    assert minhash_signatures_batch([]).shape == (0, 32)
+    assert (minhash_signatures_batch(["", "   "]) == 0).all()
+    assert simhash64_batch([]).shape == (0,)
+    assert (simhash64_batch(["", "  "]) == 0).all()
+
+    # CRF tagger: empty batch and empty paragraphs
+    df = CRFNER()(pd.DataFrame({"url": [], "text_out": []}))
+    assert len(df) == 0
+    df = CRFNER()(pd.DataFrame({"url": ["u"], "text_out": ["\n\n"]}))
+    assert len(df) == 0
+
+    # top-k over an empty links table
+    links = rd.from_pandas(
+        pd.DataFrame({"url": pd.Series([], dtype=object),
+                      "text": pd.Series([], dtype=object),
+                      "href": pd.Series([], dtype=object)})
+    )
+    out = top_anchor_texts_ds("/root/testdata/sf0.001", links).to_pandas()
+    assert len(out) == 0
+
+
+def test_pdf_stage_empty_payload(ray_session):
+    from knowledgegraph__bh_ray.stages.pdf import PdfTextExtractor
+
+    ex = PdfTextExtractor(decode_fn=lambda p: [])
+    df = ex(pd.DataFrame({"doc_id": [1], "payload": [b""]}))
+    assert df["text"].tolist() == [""] and df["n_pages"].tolist() == [0]
