@@ -164,3 +164,58 @@ def test_owl_rdfxml_roundtrip():
     assert xml_text.startswith('<?xml version="1.0"')
     back = parse_rdfxml(xml_text)
     assert back == set(triples)
+
+
+def test_distributed_ttl_sink_equals_monolithic(ray_session, tmp_path):
+    """Partitioned TTL sink: header + fragments together carry exactly the
+    node declarations and relation lines of the driver-side formatter."""
+    import glob
+
+    import ray.data as rd
+
+    from knowledgegraph__bh_ray.exporters.distributed import write_ttl_partitioned
+    from knowledgegraph__bh_ray.exporters.rdf import nodes_edges_to_ttl
+
+    out = str(tmp_path / "ttl")
+    edges_ds = rd.from_pandas(EDGES).repartition(2)
+    manifest = write_ttl_partitioned(NODES, edges_ds, out)
+    assert manifest["n_rows"].sum() == len(EDGES)
+
+    whole = nodes_edges_to_ttl(NODES, EDGES)
+    frag_text = "\n".join(
+        open(p, encoding="utf-8").read() for p in sorted(glob.glob(out + "/edges-*.ttl"))
+    )
+    header_text = open(out + "/header.ttl", encoding="utf-8").read()
+    # every non-prefix line of the monolithic TTL appears in header∪fragments
+    got_lines = set(header_text.splitlines()) | set(frag_text.splitlines())
+    for line in whole.splitlines():
+        if line.startswith("@prefix") or not line.strip():
+            continue
+        assert line in got_lines, line
+
+
+def test_distributed_relations_csv_sink(ray_session, tmp_path):
+    import glob
+
+    import ray.data as rd
+
+    from knowledgegraph__bh_ray.exporters.distributed import (
+        global_prop_keys,
+        write_relations_csv_partitioned,
+    )
+    from knowledgegraph__bh_ray.exporters.neo4j_csv import edges_to_neo4j_csv
+
+    out = str(tmp_path / "csv")
+    edges_ds = rd.from_pandas(EDGES).repartition(2)
+    manifest = write_relations_csv_partitioned(edges_ds, out)
+    assert manifest["n_rows"].sum() == len(EDGES)
+    assert global_prop_keys(rd.from_pandas(EDGES)) == ["强度"]
+
+    whole = edges_to_neo4j_csv(EDGES).strip().split("\r\n")
+    header, want_rows = whole[0], set(whole[1:])
+    got_rows = set()
+    for p in glob.glob(out + "/relations-*.csv"):
+        lines = open(p, encoding="utf-8", newline="").read().strip().split("\r\n")
+        assert lines[0] == header  # identical global header in every fragment
+        got_rows.update(lines[1:])
+    assert got_rows == want_rows
