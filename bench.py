@@ -124,6 +124,8 @@ def run_bench() -> dict:
         ).count(),
     )
     timed("agg_lineitem", lambda: relational.agg_lineitem_ds(SF_DIR).count())
+    timed("events_quantiles", lambda: relational.events_quantiles_ds(SF_DIR).count())
+    timed("tfidf_terms", lambda: textops.tfidf_terms_ds(SF_DIR).count())
     timed("events_sessionize", lambda: relational.events_sessionize_ds(SF_DIR).count())
     timed("token_count", lambda: textops.token_count_by_lang_ds(SF_DIR).count())
 
