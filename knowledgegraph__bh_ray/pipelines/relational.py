@@ -58,41 +58,80 @@ def agg_lineitem_ds(sf_dir: str):
 def join_volume_ds(sf_dir: str):
     """Revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
 
-    orders/customer/nation are the small sides → broadcast once via
-    ``ray.put`` (a composed orderkey → nation map), probed inside
-    ``map_batches`` — no shuffle join on the big fact table (Ray guide
-    "small side: broadcast it")."""
+    Two join tiers chosen by the tables' TRUE scale behavior: customer and
+    nation are dimension tables (bounded; broadcast the composed
+    custkey → nation map once via ``ray.put``), but ORDERS grows with the
+    fact table — at 100 TB it does not fit a worker — so lineitem ⋈ orders
+    is a reduce-side lookup on orderkey (both sides streamed, no
+    broadcast).  Partial per-batch revenue collapse happens BEFORE the
+    orderkey shuffle so only (orderkey, cents) partials move."""
     import ray
 
-    from ..stages.grouped import hash_partitioned_agg
+    from ..stages.grouped import hash_partitioned_agg, reduce_side_lookup
 
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-
-    ok2nation = (
-        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
-        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["o_orderkey", "n_name"]]
+    ck2nation = dict(
+        zip(
+            cust["c_custkey"],
+            cust["c_nationkey"].map(
+                dict(zip(nation["n_nationkey"], nation["n_name"]))
+            ),
+        )
     )
-    lookup_ref = ray.put(dict(zip(ok2nation["o_orderkey"], ok2nation["n_name"])))
+    ck_ref = ray.put(ck2nation)
 
-    def _to_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        n_name = batch["l_orderkey"].map(lookup)
+    # orders side: (orderkey, nation) via the broadcast dimension map
+    def _orders_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ck_ref)
+        return pd.DataFrame(
+            {"o_orderkey": batch["o_orderkey"], "n_name": batch["o_custkey"].map(lut)}
+        )
+
+    orders_ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        _orders_rows, batch_format="pandas"
+    )
+
+    # fact side: pre-aggregate revenue per orderkey inside each batch
+    def _li_partial(batch: pd.DataFrame) -> pd.DataFrame:
         cents = np.floor(
             batch["l_extendedprice"] * (1.0 - batch["l_discount"]) * 100
         ).astype("int64")
-        b = pd.DataFrame({"n_name": n_name, "revenue_cents": cents, "n_items": np.int64(1)})
-        return b[b["n_name"].notna()].reset_index(drop=True)
-
-    def _agg(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("n_name", sort=False, as_index=False)[
+        d = pd.DataFrame(
+            {"l_orderkey": batch["l_orderkey"], "revenue_cents": cents,
+             "n_items": np.int64(1)}
+        )
+        return d.groupby("l_orderkey", sort=False, as_index=False)[
             ["revenue_cents", "n_items"]
         ].sum()
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    rows = li.map_batches(_to_rows, batch_format="pandas")
-    return hash_partitioned_agg(rows, ["n_name"], _agg, num_parts=4)
+    li_partial = li.map_batches(_li_partial, batch_format="pandas")
+
+    joined = reduce_side_lookup(
+        li_partial, ["l_orderkey", "revenue_cents", "n_items"], "l_orderkey",
+        orders_ds, "o_orderkey", ["n_name"],
+    )
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_name"].notna()]
+        out = df.groupby("n_name", sort=False, as_index=False)[
+            ["revenue_cents", "n_items"]
+        ].sum()
+        for c in ("revenue_cents", "n_items"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def _pre(d: pd.DataFrame) -> pd.DataFrame:
+        if "n_name" not in d.columns:
+            return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                                 "revenue_cents": pd.Series([], dtype="int64"),
+                                 "n_items": pd.Series([], dtype="int64")})
+        return d[["n_name", "revenue_cents", "n_items"]]
+
+    return hash_partitioned_agg(
+        joined.map_batches(_pre, batch_format="pandas"), ["n_name"], _agg, num_parts=4
+    )
 
 
 def top_parts_ds(sf_dir: str, k: int = 10):

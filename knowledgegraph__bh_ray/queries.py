@@ -203,21 +203,29 @@ def q_kg_entity_freq(sf_dir: str):
 def q_kg_stats(sf_dir: str):
     """Run-level graph statistics (reference op G8 counters) computed
     distributed: one aggregate pass per table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     pages = _prep(sf_dir)
     parsed = kg.parsed_ds(pages)
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def _partial(batch: pa.Table) -> pa.Table:
+        def _total(col: str) -> int:
+            # Arrow kernel: per-row list length + sum, no Python per row
+            s = pc.sum(pc.list_value_length(batch.column(col)))
+            return s.as_py() or 0
+
+        return pa.table(
             {
-                "n_pages": [np.int64(len(batch))],
-                "n_node_occurrences": [np.int64(batch["nodes"].map(len).sum())],
-                "n_triple_occurrences": [np.int64(batch["triples"].map(len).sum())],
-                "n_links": [np.int64(batch["links"].map(len).sum())],
+                "n_pages": pa.array([batch.num_rows], pa.int64()),
+                "n_node_occurrences": pa.array([_total("nodes")], pa.int64()),
+                "n_triple_occurrences": pa.array([_total("triples")], pa.int64()),
+                "n_links": pa.array([_total("links")], pa.int64()),
             }
         )
 
     totals = (
-        parsed.map_batches(_partial, batch_format="pandas")
+        parsed.map_batches(_partial, batch_format="pyarrow")
         .map_batches(
             lambda df: df.assign(_k=np.int64(0)), batch_format="pandas"
         )
