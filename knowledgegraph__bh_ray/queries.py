@@ -97,14 +97,19 @@ def extracted_cached_ds(sf_dir: str, replicas: int = 1):
 
 
 def _query_vectors(sf_dir: str, ids=(0, 1, 2)) -> dict[int, np.ndarray]:
+    """Fetch the query vectors with a parquet row filter — only the wanted
+    rows' row groups are decoded, never the whole embeddings table."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    wanted = {}
-    for vid, emb in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()):
-        if vid in ids:
-            wanted[vid] = np.array(emb, dtype=np.float64)
-    return wanted
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(ids))],
+    )
+    return {
+        vid: np.array(emb, dtype=np.float64)
+        for vid, emb in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    }
 
 
 # ---------------------------------------------------------------------------
