@@ -173,12 +173,10 @@ def tfidf_terms_ds(sf_dir: str, k: int = 10):
     )
 
     def _term_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "term": []}
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            for t in _tokens(text.lower()):
-                rows["doc_id"].append(doc_id)
-                rows["term"].append(t)
-        df = pd.DataFrame(rows)
+        # vectorized tokenize: C string ops + explode, no per-doc Python
+        toks = batch["text"].str.lower().str.strip().str.split(RE_WS)
+        df = pd.DataFrame({"doc_id": batch["doc_id"], "term": toks}).explode("term")
+        df = df[df["term"].notna() & (df["term"] != "")]
         if df.empty:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "term": pd.Series([], dtype=object),
