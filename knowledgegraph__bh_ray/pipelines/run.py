@@ -269,3 +269,38 @@ def run_kg_pipeline(
 
 def read_output(out_dir: str, table: str):
     return rd.read_parquet(os.path.join(out_dir, table))
+
+
+def degree_from_adjacency(out_dir: str, table: str = "edges"):
+    """SHUFFLE-FREE per-entity degree over the bucketed adjacency layout.
+
+    ``_write_adjacency`` partitions edges by ``hash(subj) % n_buckets`` and
+    sorts by subj, so every row of a subject lives in exactly one bucket
+    dir — the partitioning key chosen at WRITE time is reused at read time:
+    one task per bucket does a vectorized local groupby and the results
+    concatenate with zero all-to-all exchange.  (At larger bucket sizes the
+    within-bucket rows are subj-sorted, so the same aggregation streams.)"""
+    import glob
+
+    def _agg(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"subj": batch["subj"], "n_out": 1, "total_weight": batch["weight"]}
+        )
+        out = d.groupby("subj", sort=False, as_index=False)[["n_out", "total_weight"]].sum()
+        for c in ("n_out", "total_weight"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    dirs = sorted(glob.glob(os.path.join(out_dir, table, "subj_bucket=*")))
+    parts = [
+        rd.read_parquet(d, columns=["subj", "weight"], override_num_blocks=1).map_batches(
+            _agg, batch_size=None, batch_format="pandas"
+        )
+        for d in dirs
+    ]
+    if not parts:
+        return rd.from_pandas(pd.DataFrame({"subj": [], "n_out": [], "total_weight": []}))
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds

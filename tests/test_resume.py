@@ -67,3 +67,44 @@ def test_resume_skips_completed_units(ray_session, pages_small, tmp_path):
     run_kg_pipeline(pages_small, out, num_shards=4, resume_granularity=2)
     records_after = Manifest(out).records()
     assert len(records_after) == len(records_before)
+
+
+def test_degree_from_adjacency_no_shuffle(ray_session, pages_small, tmp_path):
+    """Bucketed-layout reuse: degree computed per bucket dir (no shuffle)
+    equals the shuffle-based kg_degree aggregation."""
+    import pandas as pd
+
+    from knowledgegraph__bh_ray.pipelines import kg
+    from knowledgegraph__bh_ray.pipelines.run import degree_from_adjacency, run_kg_pipeline
+    from knowledgegraph__bh_ray.stages.grouped import hash_partitioned_agg
+
+    out = str(tmp_path / "run")
+    run_kg_pipeline(pages_small, out, num_shards=4)
+    got = (
+        degree_from_adjacency(out)
+        .to_pandas()
+        .sort_values("subj")
+        .reset_index(drop=True)
+    )
+
+    edges = kg.edges_ds(pages_small)
+
+    def _to_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"subj": batch["subj"], "n_out": 1, "total_weight": batch["weight"]}
+        )
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("subj", sort=False, as_index=False)[["n_out", "total_weight"]].sum()
+        for c in ("n_out", "total_weight"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    want = (
+        hash_partitioned_agg(edges.map_batches(_to_rows, batch_format="pandas"), ["subj"], _agg)
+        .to_pandas()
+        .sort_values("subj")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["subj", "n_out", "total_weight"]],
+                                  want[["subj", "n_out", "total_weight"]])
