@@ -341,10 +341,12 @@ def q_kg_node_parents(sf_dir: str):
 
 
 def q_kg_bfs(sf_dir: str):
-    import os as _os
-
+    """BFS depth = min link distance (≤ 2) from the start page.  The node
+    cap is set far above the reachable set so depth ≡ min-distance and the
+    result is SQL-mirrorable (recursive CTE); the cap semantics themselves
+    are pytest-covered (tests/test_misc_ops.py)."""
     start = "https://baike.baidu.com/item/doc0/0"
-    return kg.bfs_reachable(_prep(sf_dir), start, max_depth=2, max_nodes=100)
+    return kg.bfs_reachable(_prep(sf_dir), start, max_depth=2, max_nodes=1_000_000)
 
 
 def q_kg_records(sf_dir: str):
@@ -934,6 +936,30 @@ def build_oracle_sql() -> dict[str, str]:
             f'SELECT url, para_idx, entity, etype, "start", "end" '
             f"FROM read_parquet('{_G}/mentions.parquet')"
         ),
+        "kg_bfs": f"""
+            WITH RECURSIVE l AS (
+                SELECT url AS src,
+                       'https://baike.baidu.com' || split_part(href, '?', 1) AS dst
+                FROM read_parquet('{_G}/links_raw.parquet') WHERE href LIKE '/item/%'),
+            r AS (
+                SELECT 'https://baike.baidu.com/item/doc0/0' AS url, 0 AS d
+                UNION
+                SELECT l.dst, r.d + 1 FROM r JOIN l ON l.src = r.url WHERE r.d < 2)
+            SELECT url, CAST(min(d) AS BIGINT) AS depth FROM r GROUP BY url
+        """,
+        "kg_page_components": f"""
+            WITH RECURSIVE l AS (
+                SELECT url AS src,
+                       'https://baike.baidu.com' || split_part(href, '?', 1) AS dst
+                FROM read_parquet('{_G}/links_raw.parquet') WHERE href LIKE '/item/%'),
+            e AS (SELECT src, dst FROM l UNION SELECT dst, src FROM l),
+            n AS (SELECT DISTINCT src AS node FROM e),
+            r AS (
+                SELECT node, node AS reach FROM n
+                UNION
+                SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach)
+            SELECT node, min(reach) AS cluster FROM r GROUP BY node
+        """,
         # dedup_minhash / dedup_simhash / doc_fingerprint / simsearch_lsh /
         # embed_concepts / rag_topk: not SQL-expressible
         # (signature/sketch/model ops) → rows-only check; their semantics are
