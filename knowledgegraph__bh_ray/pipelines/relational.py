@@ -171,6 +171,48 @@ def events_window_ds(sf_dir: str):
     return hash_partitioned_agg(rows, KEYS, _agg)
 
 
+def events_hopping_window_ds(sf_dir: str, size_min: int = 60, hop_min: int = 30):
+    """Hopping (sliding) windows: size 1 h, hop 30 min → every event lands
+    in size/hop = 2 overlapping windows.  Window membership is computed
+    per batch with integer microsecond math (no shuffle until the tiny
+    per-(type, window) partial groupby), the streaming-window shape the
+    reference lacks (SURVEY §2.9 addition, alongside tumbling + sessions)."""
+    from ..stages.grouped import hash_partitioned_agg
+
+    size_us = size_min * 60 * 1_000_000
+    hop_us = hop_min * 60 * 1_000_000
+    n_hops = size_us // hop_us
+    KEYS = ["event_type", "window_start_us"]
+
+    def _to_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        s_us = batch["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.floor(batch["value"] * 100).astype("int64").to_numpy()
+        etype = batch["event_type"].to_numpy()
+        win0 = (s_us // hop_us) * hop_us
+        frames = []
+        for k in range(n_hops):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": etype,
+                        "window_start_us": win0 - k * hop_us,
+                        "sum_value_cents": cents,
+                        "n_events": np.int64(1),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(KEYS, sort=False, as_index=False)[
+            ["sum_value_cents", "n_events"]
+        ].sum()
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    rows = ev.map_batches(_to_rows, batch_format="pandas")
+    return hash_partitioned_agg(rows, KEYS, _agg)
+
+
 QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 

@@ -463,6 +463,10 @@ def q_events_quantiles(sf_dir: str):
     return relational.events_quantiles_ds(sf_dir)
 
 
+def q_events_hopping_window(sf_dir: str):
+    return relational.events_hopping_window_ds(sf_dir)
+
+
 def q_top_anchor_texts(sf_dir: str):
     """Per-key top-k (heavy hitters): most frequent anchor texts per link
     target, salted count + partitioned rank."""
@@ -606,6 +610,7 @@ QUERIES = {
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
     "events_quantiles": q_events_quantiles,
+    "events_hopping_window": q_events_hopping_window,
     "tfidf_terms": q_tfidf_terms,
     "distinct_users_by_type": q_distinct_users_by_type,
     "top_anchor_texts": q_top_anchor_texts,
@@ -838,6 +843,18 @@ def build_oracle_sql() -> dict[str, str]:
                    sum(CAST(FLOOR(value * 100) AS BIGINT))::BIGINT AS sum_value_cents,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping_window": """
+            WITH e AS (SELECT event_type, epoch_us(ts) AS s_us,
+                              CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                       FROM events),
+                 w AS (SELECT event_type, cents,
+                              (s_us // 1800000000) * 1800000000 - k * 1800000000
+                                AS window_start_us
+                       FROM e, (VALUES (0), (1)) t(k))
+            SELECT event_type, CAST(window_start_us AS BIGINT) AS window_start_us,
+                   sum(cents)::BIGINT AS sum_value_cents, count(*) AS n_events
+            FROM w GROUP BY 1, 2
         """,
         "tfidf_terms": """
             WITH toks AS (
