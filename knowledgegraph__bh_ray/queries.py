@@ -326,6 +326,30 @@ def q_media_features(sf_dir: str):
     return media_features_ds(read_pages(_prep(sf_dir), columns=["url", "html"]))
 
 
+def q_export_graph(sf_dir: str):
+    """Distributed export sinks end-to-end: partitioned TTL + Neo4j
+    relations CSV written under /tmp, returning a stable one-row summary
+    (fragment paths are content-hashed; counts are deterministic)."""
+    import shutil
+
+    from .exporters.distributed import write_relations_csv_partitioned, write_ttl_partitioned
+
+    pages = _prep(sf_dir)
+    nodes_pdf = kg.nodes_ds(pages).to_pandas()  # vocabulary-sized
+    edges = kg.edges_ds(pages)
+    out_root = os.path.join("/tmp/kgbh_export", os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out_root, ignore_errors=True)
+    m_ttl = write_ttl_partitioned(nodes_pdf, edges, os.path.join(out_root, "ttl"))
+    m_csv = write_relations_csv_partitioned(kg.edges_ds(pages), os.path.join(out_root, "csv"))
+    return pd.DataFrame(
+        {
+            "n_nodes": pd.Series([len(nodes_pdf)], dtype="int64"),
+            "ttl_edges_written": pd.Series([int(m_ttl["n_rows"].sum())], dtype="int64"),
+            "csv_edges_written": pd.Series([int(m_csv["n_rows"].sum())], dtype="int64"),
+        }
+    )
+
+
 def q_kg_mentions_crf(sf_dir: str):
     """BiLSTM-CRF mention detector — the A2 model slot with REAL inference
     math (numpy BiLSTM + CRF Viterbi, deterministic seeded weights; see
@@ -591,6 +615,7 @@ QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "kg_page_components": q_kg_page_components,
     "media_features": q_media_features,
+    "export_graph": q_export_graph,
     "kg_chunks": q_kg_chunks,
     "dedup_clusters": q_dedup_clusters,
     "media_meta": q_media_meta,
