@@ -206,8 +206,10 @@ def tfidf_terms_ds(sf_dir: str, k: int = 10):
     dfreq = hash_partitioned_agg(tf.map_batches(_df_rows, batch_format="pandas"),
                                  ["term"], _sum_df, num_parts=8)
 
+    # salt the df attach by doc hash: corpus-frequent terms ('the') would
+    # otherwise route every one of their (doc, term) rows to one reducer
     joined = reduce_side_lookup(tf, ["doc_id", "term", "tf"], "term",
-                                dfreq, "term", ["df"])
+                                dfreq, "term", ["df"], salt_from="doc_id")
 
     num_parts = 8
 

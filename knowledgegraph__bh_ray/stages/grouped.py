@@ -231,28 +231,52 @@ def reduce_side_anti_join(ds, cols: list[str], key_col: str, keys_ds, keys_col: 
 
 def reduce_side_lookup(ds, cols: list[str], key_col: str, lut_ds, lut_key: str,
                        lut_vals: list[str], how: str = "inner",
-                       num_parts: int = DEFAULT_COMBINE_PARTITIONS):
+                       num_parts: int = DEFAULT_COMBINE_PARTITIONS,
+                       salt_from: str | None = None, salt_buckets: int = 8):
     """``ds ⋈ lut`` on ``ds[key_col] == lut[lut_key]`` appending
     ``lut_vals`` columns — the distributed form of a broadcast-dict lookup.
-    ``lut`` keys must be unique (a canonical map is)."""
+    ``lut`` keys must be unique (a canonical map is).
+
+    ``salt_from``: Zipf-skew guard for hot keys (a corpus-frequent term
+    routes ALL its data rows to one reducer otherwise).  Data rows salt by
+    ``hash(salt_from) % salt_buckets`` and route on (key, salt); the lut —
+    one row per key — replicates across all salt buckets, so the hot key's
+    data spreads over ``salt_buckets`` reducers at the cost of
+    ``salt_buckets×`` the (small) lut."""
 
     def _mk_data(d: pd.DataFrame) -> pd.DataFrame:
         out = {c: d.get(c, []) for c in cols}
         out["_k"] = d.get(key_col, [])
         for v in lut_vals:
             out[v] = None
-        return pd.DataFrame(out).assign(_s=0)
+        df = pd.DataFrame(out).assign(_s=0)
+        if salt_from is not None:
+            df[SALT_COL] = (
+                [stable_u64(str(v)) % salt_buckets for v in d.get(salt_from, [])]
+                if len(df)
+                else pd.Series([], dtype="int64")
+            )
+        return df
 
     def _mk_lut(d: pd.DataFrame) -> pd.DataFrame:
         out = {c: None for c in cols}
         out["_k"] = d.get(lut_key, pd.Series([], dtype=object))
         for v in lut_vals:
             out[v] = d.get(v, [])
-        return pd.DataFrame(out).assign(_s=1)
+        df = pd.DataFrame(out).assign(_s=1)
+        if salt_from is not None:
+            # replicate each lut row into every salt bucket
+            n = len(df)
+            df = df.loc[df.index.repeat(salt_buckets)].reset_index(drop=True)
+            df[SALT_COL] = np.tile(np.arange(salt_buckets, dtype="int64"), n)
+        return df
 
+    route_cols = ["_k"] if salt_from is None else ["_k", SALT_COL]
     u = _tagged_union(ds, lut_ds, cols, _mk_data, _mk_lut)
     keyed = u.map_batches(
-        lambda d: d.assign(**{PART_COL: (_key_hash(d, ["_k"]) % num_parts).astype("int64")}),
+        lambda d: d.assign(
+            **{PART_COL: (_key_hash(d, route_cols) % num_parts).astype("int64")}
+        ),
         batch_format="pandas",
     )
 

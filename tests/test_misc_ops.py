@@ -157,3 +157,30 @@ def test_stratified_sample_deterministic_and_sized(ray_session):
         b.sort_values(key).reset_index(drop=True)
     )
     assert (a.groupby("lang").size() <= 5).all()
+
+
+def test_salted_lookup_equals_unsalted(ray_session):
+    """Zipf-skew guard: the salted reduce-side lookup (lut replicated per
+    salt bucket) produces identical output to the unsalted path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from knowledgegraph__bh_ray.stages.grouped import reduce_side_lookup
+
+    data = pd.DataFrame(
+        {"rid": range(200), "k": ["hot"] * 150 + [f"k{i}" for i in range(50)]}
+    )
+    lut = pd.DataFrame({"kk": ["hot"] + [f"k{i}" for i in range(50)],
+                        "v": ["H"] + [f"v{i}" for i in range(50)]})
+    kw = dict(cols=["rid", "k"], key_col="k", lut_key="kk", lut_vals=["v"])
+    plain = (
+        reduce_side_lookup(rd.from_pandas(data), lut_ds=rd.from_pandas(lut), **kw)
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    salted = (
+        reduce_side_lookup(rd.from_pandas(data), lut_ds=rd.from_pandas(lut),
+                           salt_from="rid", salt_buckets=4, **kw)
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    assert plain[["rid", "k", "v"]].astype(str).equals(salted[["rid", "k", "v"]].astype(str))
+    assert len(plain) == 200
