@@ -263,3 +263,42 @@ def distinct_users_by_type_ds(sf_dir: str):
 
     return hash_partitioned_agg(pairs.map_batches(_count_rows, batch_format="pandas"),
                                 ["event_type"], _sum, num_parts=4)
+
+
+def bigram_top_ds(sf_dir: str, k: int = 100):
+    """Corpus bigram counts → global top-k (n DESC, bigram tiebreak).
+
+    Per-batch: vectorized tokenize (C string ops), within-doc bigrams via
+    groupby-shift (no per-doc Python), value_counts partial.  The partial
+    collapse bounds Zipf skew at one row per (batch, bigram), so the
+    combine shuffle moves |distinct bigrams| rows, then a global sort +
+    limit over the (already tiny) count table."""
+    from ..stages.grouped import hash_partitioned_agg
+
+    def _bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.strip().str.split(RE_WS)
+        df = pd.DataFrame({"doc_id": batch["doc_id"], "term": toks}).explode("term")
+        df = df[df["term"].notna() & (df["term"] != "")]
+        if df.empty:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        df["nxt"] = df.groupby("doc_id", sort=False)["term"].shift(-1)
+        df = df[df["nxt"].notna()]
+        big = (df["term"].astype(str) + " " + df["nxt"].astype(str))
+        out = big.value_counts().rename_axis("bigram").rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def _sum(d: pd.DataFrame) -> pd.DataFrame:
+        if "bigram" not in d.columns:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        out = d.groupby("bigram", sort=False, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    counts = hash_partitioned_agg(
+        docs.map_batches(_bigrams, batch_format="pandas"), ["bigram"], _sum, num_parts=8
+    )
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)

@@ -479,6 +479,10 @@ def q_tfidf_terms(sf_dir: str):
     return textops.tfidf_terms_ds(sf_dir, k=10)
 
 
+def q_bigram_top(sf_dir: str):
+    return textops.bigram_top_ds(sf_dir, k=100)
+
+
 def q_distinct_users_by_type(sf_dir: str):
     return textops.distinct_users_by_type_ds(sf_dir)
 
@@ -637,6 +641,7 @@ QUERIES = {
     "events_quantiles": q_events_quantiles,
     "events_hopping_window": q_events_hopping_window,
     "tfidf_terms": q_tfidf_terms,
+    "bigram_top": q_bigram_top,
     "distinct_users_by_type": q_distinct_users_by_type,
     "top_anchor_texts": q_top_anchor_texts,
     "sample_stratified": q_sample_stratified,
@@ -896,6 +901,23 @@ def build_oracle_sql() -> dict[str, str]:
                   FROM tf JOIN dfreq USING (term))
             SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "bigram_top": """
+            WITH arrs AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE trim(text) != ''
+            ),
+            toks AS (
+              SELECT doc_id, unnest(arr) AS term,
+                     unnest(range(1, len(arr) + 1)) AS pos
+              FROM arrs
+            ),
+            big AS (
+              SELECT a.term || ' ' || b.term AS bigram
+              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            )
+            SELECT bigram, count(*)::BIGINT AS n FROM big
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100
         """,
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
