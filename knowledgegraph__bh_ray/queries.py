@@ -318,6 +318,13 @@ def q_kg_page_components(sf_dir: str):
     return connected_components_ds(edges, a="src_url", b="dst_url")
 
 
+def q_kg_triangles(sf_dir: str):
+    """Distinct triangles of the undirected page-link graph (u < v < w)."""
+    from .stages.pagerank import triangles_ds
+
+    return triangles_ds(kg.page_graph_edges_ds(_prep(sf_dir)))
+
+
 def q_media_features(sf_dir: str):
     """Media feature extraction through the actor-pool decode slot (decoder
     is the marked deterministic stand-in — no media libs in this env)."""
@@ -618,6 +625,7 @@ QUERIES = {
     "kg_page_graph_edges": q_kg_page_graph_edges,
     "kg_pagerank": q_kg_pagerank,
     "kg_page_components": q_kg_page_components,
+    "kg_triangles": q_kg_triangles,
     "media_features": q_media_features,
     "export_graph": q_export_graph,
     "kg_chunks": q_kg_chunks,
@@ -1010,6 +1018,18 @@ def build_oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT l.dst, r.d + 1 FROM r JOIN l ON l.src = r.url WHERE r.d < 2)
             SELECT url, CAST(min(d) AS BIGINT) AS depth FROM r GROUP BY url
+        """,
+        "kg_triangles": f"""
+            WITH l AS (
+                SELECT url AS src,
+                       'https://baike.baidu.com' || split_part(href, '?', 1) AS dst
+                FROM read_parquet('{_G}/links_raw.parquet') WHERE href LIKE '/item/%'),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM l WHERE src != dst)
+            SELECT a.u AS u, a.v AS v, b.v AS w
+            FROM und a JOIN und b ON a.v = b.u
+                       JOIN und c ON c.u = a.u AND c.v = b.v
         """,
         "kg_page_components": f"""
             WITH RECURSIVE l AS (

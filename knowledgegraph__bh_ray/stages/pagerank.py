@@ -41,6 +41,88 @@ def pagerank_pairs(edges: pd.DataFrame, damping: float = 0.85, iters: int = 10,
     return pd.DataFrame({"url": nodes, "rank": [r[v] for v in nodes]})
 
 
+def triangles_ds(edges_ds, src: str = "src_url", dst: str = "dst_url",
+                 num_parts: int = 8):
+    """Distinct triangles (u < v < w) of the undirected graph — the
+    two-join distributed shape: canonical edges (u<v) → wedge join on the
+    shared middle vertex (many-to-many reduce-side merge) → closing-edge
+    semi-join on the (u,w) pair.  Every exchange is hash-partitioned; no
+    broadcast (the edge set is corpus-scale)."""
+    import ray.data as rd
+
+    from .grouped import PART_COL, _key_hash, distinct_block, hash_partitioned_agg
+
+    def _canon(d: pd.DataFrame) -> pd.DataFrame:
+        a = d.get(src, pd.Series([], dtype=object))
+        b = d.get(dst, pd.Series([], dtype=object))
+        lo = np.where(np.asarray(a) < np.asarray(b), a, b) if len(d) else []
+        hi = np.where(np.asarray(a) < np.asarray(b), b, a) if len(d) else []
+        out = pd.DataFrame({"u": lo, "v": hi})
+        return out[out["u"] != out["v"]] if len(out) else out
+
+    und = hash_partitioned_agg(
+        edges_ds.map_batches(_canon, batch_format="pandas"),
+        ["u", "v"], distinct_block(["u", "v"]), num_parts=num_parts,
+    ).materialize()
+
+    # wedge join on the middle vertex v: (u,v) ⋈ (v,w) — many-to-many, so
+    # a per-partition pandas merge (the reduce-side pattern, m:n capable)
+    lo_side = und.map_batches(
+        lambda d: pd.DataFrame({"k": d.get("v", []), "u": d.get("u", []),
+                                "w": None, "_s": 0}),
+        batch_format="pandas",
+    )
+    hi_side = und.map_batches(
+        lambda d: pd.DataFrame({"k": d.get("u", []), "u": None,
+                                "w": d.get("v", []), "_s": 1}),
+        batch_format="pandas",
+    )
+
+    def _wedge(g: pd.DataFrame) -> pd.DataFrame:
+        le = g[g["_s"] == 0]
+        ri = g[g["_s"] == 1]
+        m = le[["k", "u"]].merge(ri[["k", "w"]], on="k", how="inner")
+        m = m[m["w"] > m["k"]]  # enforce v < w → u < v < w
+        return pd.DataFrame({"u": m["u"], "v": m["k"], "w": m["w"]})
+
+    wedges = (
+        lo_side.union(hi_side)
+        .map_batches(
+            lambda d: d.assign(**{PART_COL: (_key_hash(d, ["k"]) % num_parts).astype("int64")}),
+            batch_format="pandas",
+        )
+        .repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_wedge, batch_format="pandas")
+    )
+
+    # closing edge: keep wedges whose (u,w) is an edge — semi-join on the
+    # composite key
+    SEP = "\x1f"
+
+    def _wkey(d: pd.DataFrame) -> pd.DataFrame:
+        if "u" not in d.columns:
+            return pd.DataFrame({"u": pd.Series([], dtype=object),
+                                 "v": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype=object),
+                                 "uw": pd.Series([], dtype=object)})
+        return d.assign(uw=d["u"].astype(str) + SEP + d["w"].astype(str))
+
+    def _ekey(d: pd.DataFrame) -> pd.DataFrame:
+        if "u" not in d.columns:
+            return pd.DataFrame({"uw": pd.Series([], dtype=object)})
+        return pd.DataFrame({"uw": d["u"].astype(str) + SEP + d["v"].astype(str)})
+
+    from .grouped import reduce_side_semi_join
+
+    return reduce_side_semi_join(
+        wedges.map_batches(_wkey, batch_format="pandas"),
+        ["u", "v", "w"], "uw",
+        und.map_batches(_ekey, batch_format="pandas"), "uw",
+        num_parts=num_parts,
+    )
+
+
 def pagerank_ds(edges_ds, damping: float = 0.85, iters: int = 10,
                 num_parts: int = 8, src: str = "src_url", dst: str = "dst_url",
                 driver_threshold: int = 2_000_000):
