@@ -339,6 +339,54 @@ def stratified_sample_ds(sf_dir: str, per_stratum: int = 20):
                                 ["lang"], _topn, num_parts=4)
 
 
+def events_with_sessions_ds(sf_dir: str, gap_minutes: int = 30):
+    """Stream-enrichment join shape: every EVENT tagged with its session's
+    start time — the per-partition sessionizer emits per-event rows instead
+    of per-session aggregates (same partitioning assumption: a user's
+    events co-locate; same vectorized break/cumsum machinery)."""
+    from ..stages.grouped import PART_COL, _key_hash
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    num_parts = 16
+
+    def _route(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+        out[PART_COL] = (_key_hash(out, ["user_id"]) % num_parts).astype("int64")
+        return out
+
+    def _enrich(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        sid = np.cumsum(brk)
+        start = pd.Series(ts).groupby(sid).transform("min").to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "ts_us": ts,
+                "session_start_us": start.astype("int64"),
+            }
+        )
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return (
+        ev.map_batches(_route, batch_format="pandas")
+        .repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_enrich, batch_format="pandas")
+    )
+
+
 def events_sessionize_ds(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization per user (session = events ≤ gap apart).
 

@@ -482,6 +482,10 @@ def q_events_sessionize(sf_dir: str):
     return relational.events_sessionize_ds(sf_dir)
 
 
+def q_events_with_sessions(sf_dir: str):
+    return relational.events_with_sessions_ds(sf_dir)
+
+
 def q_tfidf_terms(sf_dir: str):
     return textops.tfidf_terms_ds(sf_dir, k=10)
 
@@ -646,6 +650,7 @@ QUERIES = {
     "top_parts": q_top_parts,
     "events_window": q_events_window,
     "events_sessionize": q_events_sessionize,
+    "events_with_sessions": q_events_with_sessions,
     "events_quantiles": q_events_quantiles,
     "events_hopping_window": q_events_hopping_window,
     "tfidf_terms": q_tfidf_terms,
@@ -990,6 +995,20 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts_us)::BIGINT AS session_start_us,
                    max(ts_us)::BIGINT AS session_end_us, count(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "events_with_sessions": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+                 o AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                                                  ORDER BY ts_us, event_id) AS prev FROM e),
+                 s AS (SELECT *, sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                                          THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM o)
+            SELECT event_id, user_id, ts_us::BIGINT AS ts_us,
+                   min(ts_us) OVER (PARTITION BY user_id, sid)::BIGINT
+                     AS session_start_us
+            FROM s
         """,
         "simsearch_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
