@@ -81,13 +81,17 @@ def run_kg_pipeline(
     num_shards: int = 8,
     resume_granularity: int = 1,
     counter: "ray.actor.ActorHandle | None" = None,
+    tagger: str = "gazetteer",
     _fail_after_units: int | None = None,
 ) -> dict:
     """Run (or resume) the full pipeline; returns the manifest records.
 
     ``resume_granularity`` = how many manifest units phase 1 is split into
     (each unit = one Dataset pass over its subset of url-hash shards).
-    """
+    ``tagger`` selects the phase-5 mention detector — the pluggable A2
+    model slot: ``"gazetteer"`` (vocabulary alternation, oracle-gated),
+    ``"crf"`` (numpy BiLSTM-CRF, stages/crf.py), or ``"pattern"``
+    (typed regex rules)."""
     import ray
 
     manifest = Manifest(out_dir)
@@ -234,18 +238,6 @@ def run_kg_pipeline(
     if "mentions" not in done:
         t0 = time.time()
         manifest.clean_unit_dir(mentions_dir)
-        from ..stages.ner import mentions_ds
-
-        # gazetteer = the longest node names (vocab cap keeps the compiled
-        # pattern bounded; documented truncation) — same longest-win policy
-        # as GazetteerMatcher's own MAX_GAZETTEER cap; ties broken by name
-        names_pdf = _read_small(nodes_dir, ["name", "type"])
-        names_pdf = (
-            names_pdf.assign(_len=names_pdf["name"].str.len())
-            .sort_values(["_len", "name"], ascending=[False, True], kind="mergesort")
-            .head(5000)
-        )
-        gaz = (names_pdf["name"].tolist(), names_pdf["type"].tolist())
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         # STREAM the checkpoint into a fixed pool of ncpu-2 taggers: two CPU
         # slots stay free for the upstream read tasks so the pool never
@@ -255,7 +247,30 @@ def run_kg_pipeline(
         extracted = rd.read_parquet(
             parsed_dir, columns=["url", "text_out"], override_num_blocks=ncpu * 6
         )
-        mentions = mentions_ds(extracted, gaz, concurrency=max(1, ncpu - 2))
+        pool = max(1, ncpu - 2)
+        if tagger == "crf":
+            from ..stages.crf import crf_mentions_ds
+
+            mentions = crf_mentions_ds(extracted, concurrency=pool)
+        elif tagger == "pattern":
+            from ..stages.ner import pattern_mentions_ds
+
+            mentions = pattern_mentions_ds(extracted, concurrency=pool)
+        else:
+            from ..stages.ner import mentions_ds
+
+            # gazetteer = the longest node names (vocab cap keeps the
+            # compiled pattern bounded; documented truncation) — same
+            # longest-win policy as GazetteerMatcher's own MAX_GAZETTEER
+            # cap; ties broken by name
+            names_pdf = _read_small(nodes_dir, ["name", "type"])
+            names_pdf = (
+                names_pdf.assign(_len=names_pdf["name"].str.len())
+                .sort_values(["_len", "name"], ascending=[False, True], kind="mergesort")
+                .head(5000)
+            )
+            gaz = (names_pdf["name"].tolist(), names_pdf["type"].tolist())
+            mentions = mentions_ds(extracted, gaz, concurrency=pool)
         mentions.write_parquet(mentions_dir)
         manifest.mark_done("mentions", _dir_rows(mentions_dir), wall_sec=time.time() - t0)
         _checkpoint_gate()

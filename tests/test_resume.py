@@ -108,3 +108,17 @@ def test_degree_from_adjacency_no_shuffle(ray_session, pages_small, tmp_path):
     )
     pd.testing.assert_frame_equal(got[["subj", "n_out", "total_weight"]],
                                   want[["subj", "n_out", "total_weight"]])
+
+
+def test_pipeline_tagger_slot_pluggable(ray_session, pages_small, tmp_path):
+    """Phase-5 model slot: the CRF tagger drops into the pipeline in place
+    of the gazetteer; earlier phases resume untouched."""
+    import ray.data as rd
+
+    from knowledgegraph__bh_ray.pipelines.run import run_kg_pipeline
+
+    out = str(tmp_path / "crf_run")
+    res = run_kg_pipeline(pages_small, out, num_shards=4, tagger="crf")
+    assert "mentions" in {r["unit"] for r in res["records"]}
+    m = rd.read_parquet(out + "/mentions").to_pandas()
+    assert set(m.columns) >= {"url", "para_idx", "entity", "etype", "start", "end"}
