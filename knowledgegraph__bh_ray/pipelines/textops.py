@@ -302,3 +302,48 @@ def bigram_top_ds(sf_dir: str, k: int = 100):
         docs.map_batches(_bigrams, batch_format="pandas"), ["bigram"], _sum, num_parts=8
     )
     return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def distinct_users_hll_ds(sf_dir: str):
+    """Approximate grouped COUNT(DISTINCT) via HyperLogLog register rows
+    (functions/hll.py): the shuffle moves ≤ |groups|·m register rows no
+    matter how many distinct values exist — the 100-TB path beside the
+    exact two-level dedup (distinct_users_by_type_ds).  Deterministic and
+    merge-invariant (pytest: partitioning cannot change the estimate)."""
+    from ..functions.hll import hll_estimate, hll_rows
+    from ..stages.grouped import coalesced_groupby, hash_partitioned_agg
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for etype, g in batch.groupby("event_type", sort=False):
+            r = hll_rows(g["user_id"].to_numpy())
+            r.insert(0, "event_type", etype)
+            frames.append(r)
+        if not frames:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "idx": pd.Series([], dtype="int64"),
+                                 "rho": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    def _max(df: pd.DataFrame) -> pd.DataFrame:
+        if "event_type" not in df.columns:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "idx": pd.Series([], dtype="int64"),
+                                 "rho": pd.Series([], dtype="int64")})
+        return df.groupby(["event_type", "idx"], sort=False, as_index=False)["rho"].max()
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    regs = hash_partitioned_agg(ev.map_batches(_partial, batch_format="pandas"),
+                                ["event_type", "idx"], _max, num_parts=8)
+
+    def _est(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users_est": pd.Series(
+                    [hll_estimate(g["idx"].to_numpy(), g["rho"].to_numpy())], dtype="int64"
+                ),
+            }
+        )
+
+    return coalesced_groupby(regs, "event_type", 4).map_groups(_est, batch_format="pandas")

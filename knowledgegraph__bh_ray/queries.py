@@ -498,6 +498,12 @@ def q_distinct_users_by_type(sf_dir: str):
     return textops.distinct_users_by_type_ds(sf_dir)
 
 
+def q_distinct_users_hll(sf_dir: str):
+    """Approximate grouped distinct (HyperLogLog, ≤5%-gated in pytest) —
+    the sketch path whose shuffle volume is independent of cardinality."""
+    return textops.distinct_users_hll_ds(sf_dir)
+
+
 def q_events_quantiles(sf_dir: str):
     return relational.events_quantiles_ds(sf_dir)
 
@@ -656,6 +662,7 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "bigram_top": q_bigram_top,
     "distinct_users_by_type": q_distinct_users_by_type,
+    "distinct_users_hll": q_distinct_users_hll,
     "top_anchor_texts": q_top_anchor_texts,
     "sample_stratified": q_sample_stratified,
     "kg_pages_without_links": q_kg_pages_without_links,

@@ -184,3 +184,35 @@ def test_salted_lookup_equals_unsalted(ray_session):
     )
     assert plain[["rid", "k", "v"]].astype(str).equals(salted[["rid", "k", "v"]].astype(str))
     assert len(plain) == 200
+
+
+def test_hll_accuracy_and_merge_invariance(ray_session):
+    """HLL estimate within 5% of exact per group; partitioning cannot
+    change the result (register max is associative)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray.functions.hll import hll_estimate, hll_rows
+    from knowledgegraph__bh_ray.pipelines.textops import distinct_users_hll_ds
+
+    sf = "/root/testdata/sf0.001"
+    got = distinct_users_hll_ds(sf).to_pandas().set_index("event_type")["n_users_est"]
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "user_id"]).to_pandas()
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    for etype, n in exact.items():
+        err = abs(int(got[etype]) - n) / n
+        assert err <= 0.05, (etype, int(got[etype]), n, err)
+
+    # merge invariance: single-shot rows == max-merged split rows
+    vals = [f"u{i}" for i in range(5000)]
+    whole = hll_rows(vals)
+    import pandas as pd
+
+    parts = pd.concat([hll_rows(vals[:1700]), hll_rows(vals[1700:3400]), hll_rows(vals[3400:])])
+    merged = parts.groupby("idx", sort=False, as_index=False)["rho"].max()
+    a = whole.sort_values("idx").reset_index(drop=True)
+    b = merged.sort_values("idx").reset_index(drop=True)
+    assert a.equals(b)
+    assert hll_estimate(a["idx"].to_numpy(), a["rho"].to_numpy()) == hll_estimate(
+        b["idx"].to_numpy(), b["rho"].to_numpy()
+    )
