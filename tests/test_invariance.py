@@ -67,3 +67,38 @@ def test_salted_agg_equals_pandas_groupby(ray_session):
         out[["k", "seq", "v", "weight"]],
         exp[["k", "seq", "v", "weight"]].astype({"weight": out["weight"].dtype}),
     )
+
+
+def test_reduce_side_ops_partition_invariance(ray_session):
+    """The reduce-side join family must be invariant to partition count
+    (same algebraic guarantee as the salted aggregations)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from knowledgegraph__bh_ray.stages.grouped import (
+        reduce_side_anti_join,
+        reduce_side_lookup,
+        reduce_side_semi_join,
+    )
+
+    data = pd.DataFrame({"rid": range(120), "k": [f"k{i % 17}" for i in range(120)]})
+    keys = pd.DataFrame({"kk": [f"k{i}" for i in range(0, 17, 2)]})
+    lut = pd.DataFrame({"kk": [f"k{i}" for i in range(17)], "v": [f"v{i}" for i in range(17)]})
+
+    def run(fn, **kw):
+        outs = []
+        for parts in (3, 16):
+            ds = rd.from_pandas(data).repartition(5)
+            out = fn(ds, num_parts=parts, **kw).to_pandas()
+            outs.append(out.sort_values("rid").reset_index(drop=True).astype(str))
+        return outs
+
+    a, b = run(lambda ds, **kw: reduce_side_semi_join(ds, ["rid", "k"], "k",
+                                                      rd.from_pandas(keys), "kk", **kw))
+    assert a.equals(b) and len(a) > 0
+    a, b = run(lambda ds, **kw: reduce_side_anti_join(ds, ["rid", "k"], "k",
+                                                      rd.from_pandas(keys), "kk", **kw))
+    assert a.equals(b) and len(a) > 0
+    a, b = run(lambda ds, **kw: reduce_side_lookup(ds, ["rid", "k"], "k",
+                                                   rd.from_pandas(lut), "kk", ["v"], **kw))
+    assert a.equals(b) and len(a) == 120
