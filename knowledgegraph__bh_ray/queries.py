@@ -318,6 +318,30 @@ def q_kg_page_components(sf_dir: str):
     return connected_components_ds(edges, a="src_url", b="dst_url")
 
 
+def q_kg_ancestors(sf_dir: str):
+    """Transitive parent (subclass) closure with depth, capped at 10 —
+    the ontology-side counterpart of rdfs:subClassOf chains.  The node
+    table is entity-VOCABULARY-sized, so the closure walks driver-side
+    over the distributed-deduped nodes (the same broadcast-scale decision
+    as the canonical map); self-loop chains terminate at the depth cap
+    exactly like the SQL recursion."""
+    nodes = kg.nodes_ds(_prep(sf_dir)).to_pandas()
+    parent_of = dict(zip(nodes["id"], nodes["parent"]))
+    out = {"id": [], "anc": [], "depth": []}
+    for nid in nodes["id"]:
+        anc = parent_of.get(nid, "")
+        depth = 1
+        while anc and depth <= 10:
+            out["id"].append(nid)
+            out["anc"].append(anc)
+            out["depth"].append(depth)
+            anc = parent_of.get(anc, "")
+            depth += 1
+    df = pd.DataFrame(out)
+    df["depth"] = df["depth"].astype("int64")
+    return df
+
+
 def q_kg_triangles(sf_dir: str):
     """Distinct triangles of the undirected page-link graph (u < v < w)."""
     from .stages.pagerank import triangles_ds
@@ -636,6 +660,7 @@ QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "kg_page_components": q_kg_page_components,
     "kg_triangles": q_kg_triangles,
+    "kg_ancestors": q_kg_ancestors,
     "media_features": q_media_features,
     "export_graph": q_export_graph,
     "kg_chunks": q_kg_chunks,
@@ -1044,6 +1069,20 @@ def build_oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT l.dst, r.d + 1 FROM r JOIN l ON l.src = r.url WHERE r.d < 2)
             SELECT url, CAST(min(d) AS BIGINT) AS depth FROM r GROUP BY url
+        """,
+        "kg_ancestors": f"""
+            WITH RECURSIVE n AS (
+                SELECT id, arg_min(parent, seq) AS parent
+                FROM (SELECT substr(md5(name),1,8) AS id, parent, seq
+                      FROM read_parquet('{_G}/nodes_raw.parquet'))
+                GROUP BY id),
+            a AS (
+                SELECT id, parent AS anc, 1 AS depth FROM n WHERE parent != ''
+                UNION ALL
+                SELECT a.id, n.parent, a.depth + 1
+                FROM a JOIN n ON a.anc = n.id
+                WHERE n.parent != '' AND a.depth < 10)
+            SELECT id, anc, CAST(depth AS BIGINT) AS depth FROM a
         """,
         "kg_triangles": f"""
             WITH l AS (
