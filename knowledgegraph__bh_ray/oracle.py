@@ -342,7 +342,7 @@ def oracle_run(pages_table: pa.Table) -> dict[str, pa.Table]:
 # ---------------------------------------------------------------------------
 
 GOLDEN_TABLES = ("extracted", "records", "links_raw", "links_all", "nodes_raw", "triples_raw", "mentions")
-GOLDEN_VERSION = "3"  # bump when oracle semantics change → stale /tmp caches regenerate
+GOLDEN_VERSION = "4"  # bump when oracle semantics change → stale /tmp caches regenerate
 
 
 def golden_dir(sf_dir: str, root: str = GOLDEN_ROOT) -> str:

@@ -54,7 +54,7 @@ def _prep(sf_dir: str) -> str:
 
 
 _EXTRACT_CACHE_ROOT = "/tmp/kgbh_extracted"
-EXTRACT_CACHE_VERSION = "1"  # bump when extract semantics change
+EXTRACT_CACHE_VERSION = "2"  # bump when extract semantics change
 
 
 def ensure_extracted(sf_dir: str, replicas: int = 1) -> str:
