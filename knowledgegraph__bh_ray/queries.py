@@ -318,6 +318,52 @@ def q_kg_page_components(sf_dir: str):
     return connected_components_ds(edges, a="src_url", b="dst_url")
 
 
+def q_kg_cooccurrence(sf_dir: str):
+    """Entity co-occurrence edges: distinct entity pairs co-mentioned in
+    the same paragraph, counted corpus-wide (the standard co-mention
+    relation signal).  Pair generation reuses the dedup machinery's
+    vectorized bucket layout — one triu per distinct paragraph-entity-count
+    — then the salted count collapses the Zipfian pair keys."""
+    from .stages.dedup import _bucket_layout, _intra_bucket_pairs
+    from .stages.grouped import PART_COL, _key_hash, hash_partitioned_agg
+
+    mentions = q_kg_mentions(sf_dir)
+    num_parts = 8
+
+    def _distinct_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[["url", "para_idx", "entity"]].drop_duplicates()
+        d = d.copy()
+        d[PART_COL] = (_key_hash(d, ["url", "para_idx"]) % num_parts).astype("int64")
+        return d
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=["url", "para_idx", "entity"])
+        g = g.sort_values(["url", "para_idx", "entity"], kind="mergesort").reset_index(drop=True)
+        g["_pk"] = g["url"].astype(str) + "\x1f" + g["para_idx"].astype(str)
+        starts, counts = _bucket_layout(g, ["_pk"])
+        I, J = _intra_bucket_pairs(starts, counts)
+        ents = g["entity"].to_numpy()
+        return pd.DataFrame({"entity_a": ents[I], "entity_b": ents[J],
+                             "n_pairs": np.int64(1)})
+
+    def _sum(d: pd.DataFrame) -> pd.DataFrame:
+        if "entity_a" not in d.columns:
+            return pd.DataFrame({"entity_a": pd.Series([], dtype=object),
+                                 "entity_b": pd.Series([], dtype=object),
+                                 "n_pairs": pd.Series([], dtype="int64")})
+        out = d.groupby(["entity_a", "entity_b"], sort=False, as_index=False)["n_pairs"].sum()
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    pair_rows = (
+        mentions.map_batches(_distinct_rows, batch_format="pandas")
+        .repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    return hash_partitioned_agg(pair_rows, ["entity_a", "entity_b"], _sum, num_parts=8)
+
+
 def q_kg_ancestors(sf_dir: str):
     """Transitive parent (subclass) closure with depth, capped at 10 —
     the ontology-side counterpart of rdfs:subClassOf chains.  The node
@@ -661,6 +707,7 @@ QUERIES = {
     "kg_page_components": q_kg_page_components,
     "kg_triangles": q_kg_triangles,
     "kg_ancestors": q_kg_ancestors,
+    "kg_cooccurrence": q_kg_cooccurrence,
     "media_features": q_media_features,
     "export_graph": q_export_graph,
     "kg_chunks": q_kg_chunks,
@@ -1069,6 +1116,16 @@ def build_oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT l.dst, r.d + 1 FROM r JOIN l ON l.src = r.url WHERE r.d < 2)
             SELECT url, CAST(min(d) AS BIGINT) AS depth FROM r GROUP BY url
+        """,
+        "kg_cooccurrence": f"""
+            WITH m AS (SELECT DISTINCT url, para_idx, entity
+                       FROM read_parquet('{_G}/mentions.parquet'))
+            SELECT a.entity AS entity_a, b.entity AS entity_b,
+                   count(*) AS n_pairs
+            FROM m a JOIN m b
+              ON a.url = b.url AND a.para_idx = b.para_idx
+             AND a.entity < b.entity
+            GROUP BY 1, 2
         """,
         "kg_ancestors": f"""
             WITH RECURSIVE n AS (
