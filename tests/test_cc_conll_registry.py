@@ -103,3 +103,39 @@ def test_cc_empty_pairs(ray_session):
                                      "id_b": pd.Series([], dtype=object)}))
     ).to_pandas()
     assert len(got) == 0
+
+
+def _ancestors_reference(ids, parents, max_depth=10):
+    parent_of = dict(zip(ids, parents))
+    out = []
+    for nid in ids:
+        anc = parent_of.get(nid, "")
+        depth = 1
+        while anc and depth <= max_depth:
+            out.append((nid, anc, depth))
+            anc = parent_of.get(anc, "")
+            depth += 1
+    return sorted(out)
+
+
+def test_ancestor_closure_matches_reference(ray_session):
+    """Doubling closure ≡ per-node pointer chase: plain chain, chain longer
+    than the cap, self-loop, dangling parent, and a root all in one graph."""
+    import pandas as pd
+    import ray.data as rd
+
+    from knowledgegraph__bh_ray.stages.cc import ancestor_closure_ds
+
+    ids = [f"n{i}" for i in range(14)] + ["loop", "dang"]
+    parents = [""] + [f"n{i-1}" for i in range(1, 14)] + ["loop", "ghost"]
+    got = ancestor_closure_ds(
+        rd.from_pandas(pd.DataFrame({"id": ids, "parent": parents})), num_parts=3
+    ).to_pandas()
+    got_t = sorted(zip(got["id"], got["anc"], got["depth"]))
+    assert got_t == _ancestors_reference(ids, parents)
+    # n13 sits on a 13-deep chain: capped at 10; the self-loop hits the cap too
+    n13 = [t for t in got_t if t[0] == "n13"]
+    assert len(n13) == 10
+    assert len([t for t in got_t if t[0] == "loop"]) == 10
+    # dangling parent: one hop then stop
+    assert [t for t in got_t if t[0] == "dang"] == [("dang", "ghost", 1)]
