@@ -218,9 +218,13 @@ def minhash_pairs_ds(ds, id_col: str, text_col: str, threshold: float = 0.8):
         est = (S[I] == S[J]).mean(axis=1)
         m = est >= threshold
         ids = g[id_col].to_numpy()  # sorted by id within bucket → id_a < id_b
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"id_a": ids[I[m]], "id_b": ids[J[m]], "est_jaccard": est[m].astype(np.float64)}
         )
+        # pre-distinct before the pair shuffle: est_jaccard is computed
+        # over the FULL signature, so a pair colliding in several bands of
+        # this partition yields identical rows — ship one
+        return out.drop_duplicates(subset=["id_a", "id_b"])
 
     bands = ds.map_batches(_bands, batch_format="pandas")
     pairs = (
@@ -321,7 +325,13 @@ def simhash_pairs_ds(ds, id_col: str, text_col: str, max_hamming: int = 3):
         d = _popcount64(hs[I] ^ hs[J])
         m = d <= max_hamming
         ids = g[id_col].to_numpy()
-        return pd.DataFrame({"id_a": ids[I[m]], "id_b": ids[J[m]], "hamming": d[m]})
+        out = pd.DataFrame({"id_a": ids[I[m]], "id_b": ids[J[m]], "hamming": d[m]})
+        # pre-distinct BEFORE the pair shuffle: a pair that collides in
+        # several bands routed to this partition appears once per band, all
+        # with the same (band-independent) 64-bit Hamming distance — the
+        # global distinct only needs one copy (measured ~4× shuffle cut on
+        # the replica-amplified bench corpus, PERF.md round 3)
+        return out.drop_duplicates(subset=["id_a", "id_b"])
 
     bands = ds.map_batches(_bands, batch_format="pandas")
     pairs = (

@@ -108,3 +108,42 @@ def test_deterministic_across_instances():
     a = CRFNER().tag_texts(TEXTS)
     b = CRFNER().tag_texts(TEXTS)
     assert a == b
+
+
+def test_perceptron_training_improves_f1():
+    """The reference's train-eval-save-best loop (bilstm_crf_ner.py:509-576)
+    in numpy: 2 epochs on a 4-sentence sample must improve tag F1 over the
+    untrained seeded weights, and the returned params must serve the best
+    epoch's score."""
+    from knowledgegraph__bh_ray.stages.crf import (CRFParams, tag_accuracy,
+                                                   train_perceptron)
+
+    texts = ["实体A在北京", "实体B在上海", "南京是城市", "他去了广州"]
+    gold = [
+        ["B-CONCEPT", "I-CONCEPT", "E-CONCEPT", "O", "B-CONCEPT", "E-CONCEPT"],
+        ["B-CONCEPT", "I-CONCEPT", "E-CONCEPT", "O", "B-CONCEPT", "E-CONCEPT"],
+        ["B-CONCEPT", "E-CONCEPT", "O", "B-CONCEPT", "E-CONCEPT"],
+        ["O", "O", "O", "B-CONCEPT", "E-CONCEPT"],
+    ]
+    params = CRFParams()
+    before = tag_accuracy(params, texts, gold)
+    res = train_perceptron(params, texts, gold, epochs=2)
+    after = tag_accuracy(params, texts, gold)
+    assert after > before
+    assert res["best_f1"] == after  # served weights ARE the best checkpoint
+    assert len(res["history"]) == 2
+
+
+def test_perceptron_training_deterministic():
+    from knowledgegraph__bh_ray.stages.crf import CRFParams, train_perceptron
+
+    texts = ["实体A在北京", "南京是城市"]
+    gold = [
+        ["B-CONCEPT", "I-CONCEPT", "E-CONCEPT", "O", "B-CONCEPT", "E-CONCEPT"],
+        ["B-CONCEPT", "E-CONCEPT", "O", "B-CONCEPT", "E-CONCEPT"],
+    ]
+    r1 = train_perceptron(CRFParams(), texts, gold, epochs=3)
+    r2 = train_perceptron(CRFParams(), texts, gold, epochs=3)
+    assert r1["history"] == r2["history"]
+    import numpy as np
+    assert np.array_equal(r1["best"]["w_tag"], r2["best"]["w_tag"])
