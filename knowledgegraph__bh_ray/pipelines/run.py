@@ -224,10 +224,14 @@ def run_kg_pipeline(
             else {}
         )
         ncpu_now = int(ray.cluster_resources().get("CPU", 8))
+        # fixed pool, capped at 8: the per-batch work is a vectorized dict
+        # map — spin-up of a CPU-wide pool costs more than it buys and
+        # starves the checkpoint read (same measurement as the mentions
+        # pool, PERF.md round 3)
         ecanon = kg.edges_canonical_ds(
             _parsed(columns=["url", "triples"]),
             canon_map=canon_map,
-            concurrency=max(2, ncpu_now // 2),  # fixed pool: no autoscale ramp
+            concurrency=max(2, min(8, ncpu_now // 2)),
         )
         _write_adjacency(ecanon, ecanon_dir)
         manifest.mark_done("canonical", _dir_rows(ecanon_dir), wall_sec=time.time() - t0)

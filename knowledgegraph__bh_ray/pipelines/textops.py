@@ -189,10 +189,14 @@ def tfidf_terms_ds(sf_dir: str, k: int = 10):
         return df.groupby(["doc_id", "term"], sort=False, as_index=False)["tf"].sum()
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # materialize ONCE: tf feeds both the df aggregate and the lookup —
+    # lazy, the whole tokenize+combine DAG would execute twice (measured
+    # ~1.6× on the bench corpus); (doc, term, tf) rows are much smaller
+    # than the input text and spillable
     tf = hash_partitioned_agg(
         docs.map_batches(_term_counts, batch_format="pandas"),
         ["doc_id", "term"], _sum_tf, num_parts=8,
-    )
+    ).materialize()
 
     def _df_rows(d: pd.DataFrame) -> pd.DataFrame:
         if "term" not in d.columns:

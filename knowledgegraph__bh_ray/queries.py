@@ -722,6 +722,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "kg_pages_without_links": q_kg_pages_without_links,
     "simsearch_topk": q_simsearch_topk,
+    "export_graph": q_export_graph,
     # --- no_oracle, never driver-checked before round 3 ---
     "simsearch_lsh": q_simsearch_lsh,
     "simsearch_ivf": q_simsearch_ivf,
@@ -733,7 +734,6 @@ QUERIES = {
     "kg_mentions_pattern": q_kg_mentions_pattern,
     "kg_mentions_crf": q_kg_mentions_crf,
     "media_features": q_media_features,
-    "export_graph": q_export_graph,
     "kg_chunks": q_kg_chunks,
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1210,6 +1210,12 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT node, min(reach) AS cluster FROM r GROUP BY node
         """,
         "kg_pagerank": _pagerank_sql(),
+        "export_graph": f"""
+            SELECT (SELECT count(DISTINCT substr(md5(name), 1, 8))
+                    FROM read_parquet('{_G}/nodes_raw.parquet'))::BIGINT AS n_nodes,
+                   (SELECT count(*) FROM ({_EDGES}))::BIGINT AS ttl_edges_written,
+                   (SELECT count(*) FROM ({_EDGES}))::BIGINT AS csv_edges_written
+        """,
         # dedup_minhash / dedup_simhash / doc_fingerprint / simsearch_lsh /
         # embed_concepts / rag_topk: not SQL-expressible
         # (signature/sketch/model ops) → rows-only check; their semantics are

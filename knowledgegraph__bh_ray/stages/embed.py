@@ -32,24 +32,61 @@ def fake_encode(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
     return out
 
 
-class Embedder:
-    """Actor-pool encoder: 'model load' once per actor, batched encode."""
+def _real_encoder(model_name: str):
+    """Real encoder via sentence-transformers (embedding_generator.py:23-67
+    flow) — only reachable when the library is installed.  Returns a
+    (texts, dim) → (n, dim) float32 callable; model loads ONCE here (per
+    actor), never per batch."""
+    from sentence_transformers import SentenceTransformer
 
-    def __init__(self, text_col: str, dim: int = EMBED_DIM):
+    model = SentenceTransformer(model_name)
+
+    def encode(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
+        v = np.asarray(model.encode(list(texts), normalize_embeddings=True),
+                       dtype=np.float32)
+        return v[:, :dim] if v.shape[1] >= dim else np.pad(v, ((0, 0), (0, dim - v.shape[1])))
+
+    return encode
+
+
+class Embedder:
+    """Actor-pool encoder: 'model load' once per actor, batched encode.
+
+    Backend ladder (same pattern as stages/pdf.PdfTextExtractor): injected
+    ``encode_fn`` > sentence-transformers if importable > the documented
+    deterministic stand-in.  Any callable (texts, dim) → (n, dim) drops in."""
+
+    MODEL_NAME = "all-MiniLM-L6-v2"
+
+    def __init__(self, text_col: str, dim: int = EMBED_DIM, encode_fn=None):
         self.text_col = text_col
-        self.dim = dim  # a real model would be loaded here, once
+        self.dim = dim
+        if encode_fn is not None:
+            self.encode = encode_fn
+            self.backend = "injected"
+        else:
+            try:
+                import sentence_transformers  # noqa: F401
+
+                self.encode = _real_encoder(self.MODEL_NAME)
+                self.backend = "sentence_transformers"
+            except ImportError:
+                self.encode = fake_encode
+                self.backend = "fake"
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = fake_encode(batch[self.text_col].tolist(), self.dim)
+        vecs = self.encode(batch[self.text_col].tolist(), self.dim)
         out = batch.copy()
-        out["embedding"] = list(vecs)
+        out["embedding"] = list(np.asarray(vecs, dtype=np.float32))
         return out
 
 
-def embed_ds(ds, text_col: str, concurrency=(1, 4), batch_size: int = 512):
+def embed_ds(ds, text_col: str, concurrency=(1, 4), batch_size: int = 512,
+             encode_fn=None):
     return ds.map_batches(
         Embedder,
         fn_constructor_args=(text_col,),
+        fn_constructor_kwargs={"encode_fn": encode_fn},
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,

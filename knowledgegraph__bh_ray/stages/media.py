@@ -41,21 +41,49 @@ def stub_decode(payload: bytes) -> dict:
     }
 
 
+def _real_decode(payload: bytes) -> dict:
+    """Real image decoder via PIL — only reachable when the library is
+    installed.  Same output layout as ``stub_decode``; feature = flattened
+    4×4 grayscale thumbnail in [0, 1].  Undecodable payloads (not an image)
+    fall back to the stub so mixed binary columns don't kill the stage."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            w, h = im.size
+            thumb = im.convert("L").resize((4, 4))
+            feature = [p / 255.0 for p in thumb.getdata()]
+        return {"width": w, "height": h, "feature": feature}
+    except Exception:
+        return stub_decode(payload)
+
+
 class MediaFeatureExtractor:
     """Actor-pool media stage: 'codec init' once per actor, small batches —
     large binary rows mean batch_size must stay small so batch × concurrency
-    fits the worker heap (pass batch_size≈32 for multi-MB payloads)."""
+    fits the worker heap (pass batch_size≈32 for multi-MB payloads).
 
-    def __init__(self):
-        try:  # real decoder would be loaded here
-            import PIL  # noqa: F401
+    Backend ladder (same pattern as stages/pdf.PdfTextExtractor): injected
+    ``decode_fn`` > PIL if importable > the documented stub."""
 
-            self.real_decoder = True
-        except ImportError:
-            self.real_decoder = False  # stubbed path (this container)
+    def __init__(self, decode_fn=None):
+        if decode_fn is not None:
+            self.decode = decode_fn
+            self.backend = "injected"
+        else:
+            try:
+                import PIL  # noqa: F401
+
+                self.decode = _real_decode
+                self.backend = "pil"
+            except ImportError:
+                self.decode = stub_decode  # stubbed path (this container)
+                self.backend = "fake"
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        feats = [stub_decode(b) for b in batch["html"]]
+        feats = [self.decode(b) for b in batch["html"]]
         return pd.DataFrame(
             {
                 "url": batch["url"],
@@ -66,9 +94,11 @@ class MediaFeatureExtractor:
         )
 
 
-def media_features_ds(pages, concurrency=(1, 4), batch_size: int = 32):
+def media_features_ds(pages, concurrency=(1, 4), batch_size: int = 32,
+                      decode_fn=None):
     return pages.map_batches(
         MediaFeatureExtractor,
+        fn_constructor_args=(decode_fn,),
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
