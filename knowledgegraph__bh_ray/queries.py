@@ -385,10 +385,36 @@ def q_kg_triangles(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Media feature extraction through the actor-pool decode slot (decoder
-    is the marked deterministic stand-in — no media libs in this env)."""
+    is the marked deterministic stand-in — no media libs in this env).
+
+    The stage output keeps the native ``list<float>`` feature column; this
+    driver-facing view EXPLODES it to (url, width, height, feat_idx,
+    feat_val) scalar rows so the deterministic stand-in becomes value-hash
+    checkable against a DuckDB mirror (list columns can't hash-compare —
+    ndarray vs list repr)."""
     from .stages.media import media_features_ds
 
-    return media_features_ds(read_pages(_prep(sf_dir), columns=["url", "html"]))
+    feats = media_features_ds(read_pages(_prep(sf_dir), columns=["url", "html"]))
+
+    def _explode(d: pd.DataFrame) -> pd.DataFrame:
+        if "url" not in d.columns or not len(d):
+            return pd.DataFrame({"url": pd.Series([], dtype=object),
+                                 "width": pd.Series([], dtype="int64"),
+                                 "height": pd.Series([], dtype="int64"),
+                                 "feat_idx": pd.Series([], dtype="int64"),
+                                 "feat_val": pd.Series([], dtype="float64")})
+        F = np.vstack([np.asarray(f, dtype=np.float64) for f in d["feature"]])
+        n, k = F.shape
+        idx = np.repeat(np.arange(n), k)
+        return pd.DataFrame({
+            "url": d["url"].to_numpy()[idx],
+            "width": d["width"].to_numpy()[idx].astype("int64"),
+            "height": d["height"].to_numpy()[idx].astype("int64"),
+            "feat_idx": np.tile(np.arange(1, k + 1, dtype="int64"), n),
+            "feat_val": F.ravel(),
+        })
+
+    return feats.map_batches(_explode, batch_format="pandas")
 
 
 def q_export_graph(sf_dir: str):
@@ -649,9 +675,34 @@ def q_dedup_simhash(sf_dir: str):
     )
 
 
+def _explode_embedding(keys: list[str]):
+    """Batch UDF: (keys..., embedding list<float32>) → (keys..., dim_idx,
+    val int64) scalar rows — the stand-in encoder emits exact integers, so
+    the exploded view value-hashes against the md5-arithmetic SQL mirror
+    (list columns can't hash-compare: ndarray vs list repr)."""
+
+    def _f(d: pd.DataFrame) -> pd.DataFrame:
+        if "embedding" not in d.columns or not len(d):
+            cols = {c: pd.Series([], dtype=object) for c in keys}
+            cols["dim_idx"] = pd.Series([], dtype="int64")
+            cols["val"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(cols)
+        E = np.vstack([np.asarray(e) for e in d["embedding"]])
+        n, k = E.shape
+        idx = np.repeat(np.arange(n), k)
+        out = {c: d[c].to_numpy()[idx] for c in keys}
+        out["dim_idx"] = np.tile(np.arange(1, k + 1, dtype="int64"), n)
+        out["val"] = E.ravel().astype("int64")
+        return pd.DataFrame(out)
+
+    return _f
+
+
 def q_embed_concepts(sf_dir: str):
     nodes = kg.nodes_ds(_prep(sf_dir)).select_columns(["id", "name"])
-    return embed.embed_ds(nodes, "name")
+    return embed.embed_ds(nodes, "name").map_batches(
+        _explode_embedding(["id", "name"]), batch_format="pandas"
+    )
 
 
 def q_embed_relations(sf_dir: str):
@@ -660,13 +711,25 @@ def q_embed_relations(sf_dir: str):
     edges = kg.edges_ds(_prep(sf_dir)).map_batches(
         embed.relation_phrase_batch, batch_format="pandas"
     )
-    return embed.embed_ds(edges, "phrase")
+    return embed.embed_ds(edges, "phrase").map_batches(
+        _explode_embedding(["phrase", "subj", "obj"]), batch_format="pandas"
+    )
 
 
 def q_rag_topk(sf_dir: str):
+    """RAG concept retrieval: cosine top-5 node names for query '实体1'.
+    Similarity is emitted as int64 micros: the integer-component vectors
+    make dot/norms exact in float64, so micro-rounding erases only the
+    final division/sqrt ulp — hash-stable vs the SQL mirror."""
     nodes = kg.nodes_ds(_prep(sf_dir)).select_columns(["id", "name"])
     embedded = embed.embed_ds(nodes, "name")
-    return embed.rag_topk(embedded, "实体1", "name", k=5)
+    top = embed.rag_topk(embedded, "实体1", "name", k=5)
+    return pd.DataFrame(
+        {
+            "name": top["name"],
+            "sim_micros": np.rint(top["similarity"].to_numpy() * 1e6).astype("int64"),
+        }
+    )
 
 
 # Ordering contract: every query with a DuckDB mirror in build_oracle_sql()
@@ -723,17 +786,17 @@ QUERIES = {
     "kg_pages_without_links": q_kg_pages_without_links,
     "simsearch_topk": q_simsearch_topk,
     "export_graph": q_export_graph,
-    # --- no_oracle, never driver-checked before round 3 ---
-    "simsearch_lsh": q_simsearch_lsh,
-    "simsearch_ivf": q_simsearch_ivf,
+    "media_features": q_media_features,
     "embed_concepts": q_embed_concepts,
     "embed_relations": q_embed_relations,
     "rag_topk": q_rag_topk,
+    # --- no_oracle, never driver-checked before round 3 ---
+    "simsearch_lsh": q_simsearch_lsh,
+    "simsearch_ivf": q_simsearch_ivf,
     "distinct_users_hll": q_distinct_users_hll,
     # --- no_oracle, rows-checked in round 2 ---
     "kg_mentions_pattern": q_kg_mentions_pattern,
     "kg_mentions_crf": q_kg_mentions_crf,
-    "media_features": q_media_features,
     "kg_chunks": q_kg_chunks,
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -823,6 +886,30 @@ def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
         SELECT url, CAST(round(rank * 1000000) AS BIGINT) AS rank_micros
         FROM pr{iters}
     """
+
+
+_HEXD = "0123456789abcdef"
+
+
+def _embed_sql(text_expr: str, dim: int = 64) -> str:
+    """SQL fragment recomputing fake_encode: given a relation aliased ``n``
+    with a text column expression, emit (…, dim_idx, val) rows — component
+    i = byte[(i-1) % 16] of md5(text || ':' || (i-1)//16) minus 128."""
+    return f"""
+        SELECT *,
+               ((strpos('{_HEXD}', substr(_h, 2 * _bp + 1, 1)) - 1) * 16
+                + strpos('{_HEXD}', substr(_h, 2 * _bp + 2, 1)) - 1 - 128)::BIGINT AS val
+        FROM (
+            SELECT *, md5({text_expr} || ':' || CAST((dim_idx - 1) // 16 AS VARCHAR)) AS _h,
+                   (dim_idx - 1) % 16 AS _bp
+            FROM (SELECT *, unnest(range(1, {dim + 1})) AS dim_idx FROM n))
+    """
+
+
+_NODES_DEDUP = f"""
+    SELECT substr(md5(name), 1, 8) AS id, arg_min(name, seq) AS name
+    FROM read_parquet('{{g}}/nodes_raw.parquet') GROUP BY 1
+"""
 
 
 def build_oracle_sql() -> dict[str, str]:
@@ -1210,6 +1297,58 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT node, min(reach) AS cluster FROM r GROUP BY node
         """,
         "kg_pagerank": _pagerank_sql(),
+        "embed_concepts": f"""
+            WITH n AS ({_NODES_DEDUP.format(g=_G)})
+            SELECT id, name, dim_idx::BIGINT AS dim_idx, val
+            FROM ({_embed_sql("name")})
+        """,
+        "embed_relations": f"""
+            WITH e AS ({_EDGES}),
+                 n AS (SELECT subj_name || ' ' || pred || ' ' || obj_name AS phrase,
+                              subj, obj
+                       FROM e)
+            SELECT phrase, subj, obj, dim_idx::BIGINT AS dim_idx, val
+            FROM ({_embed_sql("phrase")})
+        """,
+        "rag_topk": f"""
+            WITH n AS ({_NODES_DEDUP.format(g=_G)}),
+                 dv AS (SELECT name, dim_idx, val FROM ({_embed_sql("name")})),
+                 qn AS (SELECT '实体1' AS qtext),
+                 qv AS (SELECT dim_idx, val FROM (
+                            SELECT *,
+                                   ((strpos('{_HEXD}', substr(_h, 2 * _bp + 1, 1)) - 1) * 16
+                                    + strpos('{_HEXD}', substr(_h, 2 * _bp + 2, 1)) - 1 - 128)::BIGINT AS val
+                            FROM (
+                                SELECT *, md5(qtext || ':' || CAST((dim_idx - 1) // 16 AS VARCHAR)) AS _h,
+                                       (dim_idx - 1) % 16 AS _bp
+                                FROM (SELECT *, unnest(range(1, 65)) AS dim_idx FROM qn)))),
+                 s AS (SELECT dv.name,
+                              sum(dv.val * qv.val) AS dot,
+                              sqrt(sum(dv.val * dv.val)) AS na
+                       FROM dv JOIN qv USING (dim_idx) GROUP BY dv.name),
+                 qq AS (SELECT sqrt(sum(val * val)) AS nq FROM qv)
+            SELECT name,
+                   CAST(round(dot / (na * nq) * 1000000) AS BIGINT) AS sim_micros
+            FROM s, qq
+            ORDER BY dot / (na * nq) DESC, name
+            LIMIT 5
+        """,
+        "media_features": f"""
+            WITH m AS (SELECT url, md5(decode(html)) AS h FROM read_parquet('{_P}')),
+                 b AS (SELECT url, h, unnest(range(1, 17)) AS feat_idx FROM m),
+                 d AS (SELECT url, h, feat_idx,
+                              (strpos('0123456789abcdef', substr(h, 2*feat_idx - 1, 1)) - 1) * 16
+                              + strpos('0123456789abcdef', substr(h, 2*feat_idx, 1)) - 1 AS byte_val
+                       FROM b)
+            SELECT url,
+                   (16 + ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                          + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 64)::BIGINT AS width,
+                   (16 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                          + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) % 64)::BIGINT AS height,
+                   feat_idx::BIGINT AS feat_idx,
+                   byte_val / CAST(255 AS DOUBLE) AS feat_val
+            FROM d
+        """,
         "export_graph": f"""
             SELECT (SELECT count(DISTINCT substr(md5(name), 1, 8))
                     FROM read_parquet('{_G}/nodes_raw.parquet'))::BIGINT AS n_nodes,

@@ -22,13 +22,20 @@ EMBED_DIM = 64
 
 
 def fake_encode(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
-    """Deterministic stand-in encoder: md5-seeded gaussian per text,
-    L2-normalized.  Equal texts → equal vectors (so top-k is meaningful)."""
+    """Deterministic stand-in encoder, SQL-RECOMPUTABLE: component ``i`` of
+    text ``t`` is ``byte(md5(f"{t}:{i // 16}"))[i % 16] - 128`` — integers
+    in [-128, 127], exactly representable in float32, so the DuckDB mirror
+    (queries.build_oracle_sql: embed_concepts/embed_relations/rag_topk)
+    recomputes them bit-identically from md5 hex.  Equal texts → equal
+    vectors.  NOT normalized — consumers compute cosine with explicit
+    norms (integer dot products are exact in float64 at this dim)."""
     out = np.zeros((len(texts), dim), dtype=np.float32)
+    n_blk = (dim + 15) // 16
     for i, t in enumerate(texts):
-        seed = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:4], "big")
-        v = np.random.default_rng(seed).standard_normal(dim)
-        out[i] = (v / np.linalg.norm(v)).astype(np.float32)
+        bs = b"".join(
+            hashlib.md5(f"{t}:{b}".encode("utf-8")).digest() for b in range(n_blk)
+        )
+        out[i] = np.frombuffer(bs, dtype=np.uint8)[:dim].astype(np.float32) - 128.0
     return out
 
 
