@@ -345,7 +345,9 @@ def bfs_reachable(pages_path: str, start_url: str, max_depth: int = 2, max_nodes
     import pandas as pd
     import ray
 
-    edges = page_graph_edges_ds(pages_path).select_columns(["src_url", "dst_url"]).materialize()
+    from ..stages.spill import pin
+
+    edges = pin(page_graph_edges_ds(pages_path).select_columns(["src_url", "dst_url"]), "bfs-edges")
 
     visited: dict[str, int] = {start_url: 0}
     frontier = [start_url]

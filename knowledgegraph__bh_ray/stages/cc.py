@@ -124,6 +124,7 @@ def connected_components_ds(pairs_ds, a: str = "id_a", b: str = "id_b",
     import ray.data as rd
 
     from .grouped import distinct_block, hash_partitioned_agg
+    from .spill import pin
 
     def _both(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.concat(
@@ -136,7 +137,7 @@ def connected_components_ds(pairs_ds, a: str = "id_a", b: str = "id_b",
 
     # materialize the directed edge list ONCE (object store, not driver) so
     # each round's join does not re-run the upstream pair-generation DAG
-    edges_raw = pairs_ds.map_batches(_both, batch_format="pandas").materialize()
+    edges_raw = pin(pairs_ds.map_batches(_both, batch_format="pandas"), "cc-edges")
     n_directed = edges_raw.count()
     if n_directed == 0:
         return rd.from_pandas(pd.DataFrame({"node": [], "cluster": []}))
@@ -223,15 +224,15 @@ def connected_components_ds(pairs_ds, a: str = "id_a", b: str = "id_b",
             lambda d: pd.DataFrame({"node": d.get("node", []), "label": d.get("node", [])}),
             batch_format="pandas",
         )
-        .materialize()
     )
+    labels = pin(labels, "cc-labels")
 
     prev_chk = _label_checksum(labels)
     for _ in range(max_rounds):
         cand = labels.union(_propagate(labels))
         new_labels = hash_partitioned_agg(cand, ["node"], _min_label_block,
                                           num_parts=num_parts)
-        labels = _jump(new_labels).materialize()
+        labels = pin(_jump(new_labels), "cc-labels")
         chk = _label_checksum(labels)
         if chk == prev_chk:
             break
@@ -269,7 +270,9 @@ def ancestor_closure_ds(nodes_ds, id_col: str = "id", parent_col: str = "parent"
         return pd.DataFrame({"id": m[id_col], "anc": m[parent_col],
                              "depth": np.int64(1)})
 
-    closure = nodes_ds.map_batches(_base, batch_format="pandas").materialize()
+    from .spill import pin
+
+    closure = pin(nodes_ds.map_batches(_base, batch_format="pandas"), "anc-closure")
     frontier = closure  # exact-depth-p rows; p = 1
 
     def _compose(front, clos, p: int):
@@ -308,8 +311,8 @@ def ancestor_closure_ds(nodes_ds, id_col: str = "id", parent_col: str = "parent"
 
     p = 1
     while p < max_depth:
-        new_rows = _compose(frontier, closure, p).materialize()
-        closure = closure.union(new_rows).materialize()
+        new_rows = pin(_compose(frontier, closure, p), "anc-rows")
+        closure = pin(closure.union(new_rows), "anc-closure")
         p *= 2
         if p < max_depth:  # next round still composes: refresh the frontier
             frontier = new_rows.map_batches(

@@ -68,10 +68,12 @@ def triangles_ds(edges_ds, src: str = "src_url", dst: str = "dst_url",
         out = pd.DataFrame({"u": lo, "v": hi})
         return out[out["u"] != out["v"]] if len(out) else out
 
-    und = hash_partitioned_agg(
+    from .spill import pin
+
+    und = pin(hash_partitioned_agg(
         edges_ds.map_batches(_canon, batch_format="pandas"),
         ["u", "v"], distinct_block(["u", "v"]), num_parts=num_parts,
-    ).materialize()
+    ), "tri-und")
 
     # undirected degree per vertex (partial counts → partitioned combine)
     def _deg_rows(d: pd.DataFrame) -> pd.DataFrame:
@@ -122,7 +124,7 @@ def triangles_ds(edges_ds, src: str = "src_url", dst: str = "dst_url",
             "db": np.where(lo_first, dv, du).astype("int64"),
         })
 
-    oriented = e_dd.map_batches(_orient, batch_format="pandas").materialize()
+    oriented = pin(e_dd.map_batches(_orient, batch_format="pandas"), "tri-oriented")
 
     # wedges at the low endpoint: self-join oriented edges on 'a' within
     # each hash partition; order the out-neighbor pair by (deg, id)
@@ -209,10 +211,12 @@ def pagerank_ds(edges_ds, damping: float = 0.85, iters: int = 10,
             ignore_index=True,
         )
 
-    edges = edges_ds.map_batches(
+    from .spill import pin
+
+    edges = pin(edges_ds.map_batches(
         lambda d: pd.DataFrame({"src": d.get(src, []), "dst": d.get(dst, [])}),
         batch_format="pandas",
-    ).materialize()
+    ), "pr-edges")
     n_edges = edges.count()
     if n_edges == 0:
         return rd.from_pandas(pd.DataFrame({"url": [], "rank": []}))
@@ -222,10 +226,10 @@ def pagerank_ds(edges_ds, damping: float = 0.85, iters: int = 10,
             pagerank_pairs(pdf, damping=damping, iters=iters, src="src", dst="dst")
         )
 
-    nodes = hash_partitioned_agg(
+    nodes = pin(hash_partitioned_agg(
         edges.map_batches(_both_nodes, batch_format="pandas"),
         ["url"], distinct_block(["url"]), num_parts=num_parts,
-    ).materialize()
+    ), "pr-nodes")
     n = nodes.count()
 
     # out-degree per src (tiny vs corpus: one row per linking node)
@@ -238,15 +242,15 @@ def pagerank_ds(edges_ds, damping: float = 0.85, iters: int = 10,
     def _deg_sum(d: pd.DataFrame) -> pd.DataFrame:
         return d.groupby("node", sort=False, as_index=False)["deg"].sum()
 
-    degs = hash_partitioned_agg(edges.map_batches(_deg_rows, batch_format="pandas"),
-                                ["node"], _deg_sum, num_parts=num_parts).materialize()
+    degs = pin(hash_partitioned_agg(edges.map_batches(_deg_rows, batch_format="pandas"),
+                                    ["node"], _deg_sum, num_parts=num_parts), "pr-degs")
 
     # attach degree to ranks once per round via reduce-side merge; nodes
     # with no out-edges (deg NaN) are the dangling set
-    ranks = nodes.map_batches(
+    ranks = pin(nodes.map_batches(
         lambda d: pd.DataFrame({"url": d.get("url", []), "rank": 1.0 / n}),
         batch_format="pandas",
-    ).materialize()
+    ), "pr-ranks")
 
     def _route(ds_in, key):
         return (
@@ -278,7 +282,7 @@ def pagerank_ds(edges_ds, damping: float = 0.85, iters: int = 10,
             return pd.DataFrame({"url": m["k"], "rank": m["rank"], "deg": m["deg"]})
 
         rk = _route(a_side.union(b_side), "k").map_groups(_attach, batch_format="pandas")
-        rk = rk.materialize()
+        rk = pin(rk, "pr-rk")
 
         # dangling mass: one tiny aggregate
         def _dang(d: pd.DataFrame) -> pd.DataFrame:
@@ -327,10 +331,10 @@ def pagerank_ds(edges_ds, damping: float = 0.85, iters: int = 10,
             nodes.map_batches(_zero_rows, batch_format="pandas").union(contribs),
             ["url"], _sum_contrib, num_parts=num_parts,
         )
-        ranks = summed.map_batches(
+        ranks = pin(summed.map_batches(
             lambda d: pd.DataFrame({"url": d.get("url", []),
                                     "rank": d.get("contrib", pd.Series([], dtype=float)) + base}),
             batch_format="pandas",
-        ).materialize()
+        ), "pr-ranks")
 
     return ranks
