@@ -52,10 +52,12 @@ def _read_small(d: str, columns=None) -> "pd.DataFrame":
 
 def _write_adjacency(edges_ds, out_dir: str, n_buckets: int = 16) -> None:
     """Sorted, subj-bucketed Parquet adjacency layout (north-star
-    materialization): rows sorted by subj, partition dirs by
-    ``subj_bucket = stable_hash(subj) % n_buckets`` — a reader doing
+    materialization): partition dirs by ``subj_bucket = stable_hash(subj) %
+    n_buckets``, rows sorted by subj WITHIN each bucket — a reader doing
     per-entity adjacency lookups prunes to one bucket dir and one sorted
-    range."""
+    range.  The sort is per-bucket (one hash shuffle + vectorized sort per
+    group), not global: cross-bucket order serves no reader (bucket ids are
+    hash-assigned), and a global range-sort is a second all-to-all."""
     from ..functions.hashing import bucket_of
 
     def _bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -63,8 +65,14 @@ def _write_adjacency(edges_ds, out_dir: str, n_buckets: int = 16) -> None:
         out["subj_bucket"] = [bucket_of(s, n_buckets) for s in out["subj"]]
         return out
 
-    edges_ds.map_batches(_bucket, batch_format="pandas").sort("subj").write_parquet(
-        out_dir, partition_cols=["subj_bucket"]
+    def _sort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("subj", kind="mergesort").reset_index(drop=True)
+
+    (
+        edges_ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("subj_bucket")
+        .map_groups(_sort_bucket, batch_format="pandas")
+        .write_parquet(out_dir, partition_cols=["subj_bucket"])
     )
 
 
