@@ -169,3 +169,53 @@ def test_mixed_indent_tree_cursor_semantics():
     assert ids["B"]["parent"] == a and ids["C"]["parent"] == a
     assert ids["D"]["parent"] == a  # chaining quirk
     assert ids["E"]["parent"] == d
+
+
+def test_concept_and_relation_double_fire_same_line():
+    """No elif between the rule blocks (md2csv.py:39,62): a line matching
+    both the concept and the relation grammar emits BOTH — the concept
+    regex lazily stops at the first '@', the relation keeps the raw left
+    side as source."""
+    d = parse_doc_lines(["- A @T --> B : r"])
+    assert [c["name"] for c in d.concepts.values()] == ["A"]
+    assert len(d.relations) == 1
+    assert d.relations[0]["subj_name"] == "A @T"
+    assert d.relations[0]["obj_name"] == "B"
+    assert d.relations[0]["pred"] == "r"
+
+
+def test_concept_first_at_sign_wins():
+    """Lazy name group: '- a@b @T' parses as name 'a', type 'b' — the
+    trailing ' @T' is silently ignored (md2csv.py:39)."""
+    d = parse_doc_lines(["- a@b @T"])
+    (c,) = d.concepts.values()
+    assert (c["name"], c["type"]) == ("a", "b")
+
+
+def test_relation_colon_in_target_splits_early():
+    """Lazy target + ':' separator: a URL-ish target containing ':' is cut
+    at its first colon and the remainder becomes the relation type
+    (md2csv.py:62) — '- A --> http://x : r' yields target 'http', type
+    '//x'; the real type lands in the ignored props tail."""
+    d = parse_doc_lines(["- A --> http://x : r"])
+    (r,) = d.relations
+    assert r["obj_name"] == "http"
+    assert r["pred"] == "//x"
+    assert r["props"] == {}
+
+
+def test_relation_type_unwrap_requires_attached_value():
+    """'类型= x' (value after a space): rel_type captures '类型=' and the
+    unwrap regex needs a non-empty value after '=', so the literal '类型='
+    survives as the predicate (md2csv.py:62,72)."""
+    d = parse_doc_lines(["- A --> B : 类型= x"])
+    (r,) = d.relations
+    assert r["pred"] == "类型="
+
+
+def test_prop_key_with_dash_truncates_to_word_tail():
+    """Prop key group is (\\w+): 'k-ey=v' silently records key 'ey'
+    (md2csv.py:99)."""
+    d = parse_doc_lines(["- C @T", "k-ey=v 描述=ok"])
+    (c,) = d.concepts.values()
+    assert c["props"] == {"ey": "v", "描述": "ok"}
