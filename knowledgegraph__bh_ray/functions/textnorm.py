@@ -99,8 +99,22 @@ def replace_dir_markers(text: str) -> str:
     return "\n".join(lines)
 
 
+# fast-path trigger scan: every rule above needs at least one of these
+# characters to do anything — '!'/'<'/'\' (image markup), '$' (inline
+# latex), '\' (latex command), '_' (subscript), the math-symbol class
+# (density + structure), or a marker glyph.  A paragraph containing none is
+# returned UNCHANGED by the full pipeline, so one C-speed class scan skips
+# four regex passes on the (dominant) plain-text case.  Identity is
+# property-tested against the unconditioned pipeline.
+_RE_NORM_TRIGGERS = re.compile(
+    "[!<\\\\$_∑∏∫∮√∞∠∥≈≠≡≤≥±×÷→⇌⇔∨∧¬∃∀]"
+)
+
+
 def normalize_paragraph(text: str) -> str:
     """Full normalization pipeline for one extracted paragraph."""
+    if not _RE_NORM_TRIGGERS.search(text):
+        return text
     out = scrub_images(text)
     out = convert_latex(out)
     out = replace_math(out)

@@ -65,3 +65,28 @@ def test_full_pipeline_order():
     assert normalize_paragraph("![x](y.png)") == "[图片]"
     assert normalize_paragraph("∑∏∫∮√∞∠∥≈≠") == "[公式]"
     assert normalize_paragraph("温和段落 $a^2$ 结束") == "温和段落 \\(a^2\\) 结束"
+
+
+def test_fast_path_identity_property():
+    """The trigger-scan fast path must be invisible: for any paragraph,
+    normalize_paragraph equals the unconditioned four-pass pipeline."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from knowledgegraph__bh_ray.functions.textnorm import (convert_latex,
+                                                           normalize_paragraph,
+                                                           replace_dir_markers,
+                                                           replace_math,
+                                                           scrub_images)
+
+    def full(text):
+        return replace_dir_markers(replace_math(convert_latex(scrub_images(text))))
+
+    alphabet = "a字 $\\_{}≈≠![](x)<img>" + ""
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet, max_size=40))
+    def check(text):
+        assert normalize_paragraph(text) == full(text)
+
+    check()
