@@ -351,3 +351,56 @@ def distinct_users_hll_ds(sf_dir: str):
         )
 
     return coalesced_groupby(regs, "event_type", 4).map_groups(_est, batch_format="pandas")
+
+
+def curate_corpus_ds(sf_dir: str, min_chars: int = 20, min_tokens: int = 5):
+    """The end-to-end training-data curation chain as ONE streaming pass:
+    documents → per-batch vectorized metrics (chars / tokens / CJK ratio /
+    content hash) → quality gate (n_chars ≥ min_chars AND n_tokens ≥
+    min_tokens) → exact dedup keep-first (min doc_id per content hash, dup
+    count kept) — lang-id, quality scoring, filtering and dedup priced in a
+    single shuffle instead of four separate jobs.  All output columns are
+    integers/strings so the DuckDB mirror hashes exactly."""
+    from ..stages.grouped import hash_partitioned_agg
+
+    def _metrics(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"]
+        toks = t.map(_tokens)
+        n_chars = t.str.len().astype("int64")
+        n_tokens = toks.map(len).astype("int64")
+        n_cjk = t.map(lambda x: len(RE_CJK.findall(x))).astype("int64")
+        ratio = np.where(n_chars > 0, n_cjk / np.maximum(n_chars, 1), 0.0)
+        d = pd.DataFrame(
+            {
+                "content_hash": t.map(lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()),
+                "keep_doc_id": batch["doc_id"],
+                "lang_pred": np.where(ratio > 0.3, "zh", "en"),
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "est_tokens": (n_chars // 2).astype("int64"),
+                "n_dups": np.int64(1),
+            }
+        )
+        return d[(d["n_chars"] >= min_chars) & (d["n_tokens"] >= min_tokens)].reset_index(
+            drop=True
+        )
+
+    def _agg(df: pd.DataFrame) -> pd.DataFrame:
+        # keep-first by min doc_id (identical text ⇒ identical metrics),
+        # dup counts sum — associative, so partial/combine both use it
+        df = df.sort_values(["content_hash", "keep_doc_id"], kind="mergesort")
+        out = df.groupby("content_hash", sort=False, as_index=False).agg(
+            keep_doc_id=("keep_doc_id", "first"),
+            lang_pred=("lang_pred", "first"),
+            n_chars=("n_chars", "first"),
+            n_tokens=("n_tokens", "first"),
+            est_tokens=("est_tokens", "first"),
+            n_dups=("n_dups", "sum"),
+        )
+        for c in ("keep_doc_id", "n_chars", "n_tokens", "est_tokens", "n_dups"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return hash_partitioned_agg(docs.map_batches(_metrics, batch_format="pandas"),
+                                ["content_hash"], _agg)

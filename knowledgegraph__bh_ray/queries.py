@@ -528,6 +528,13 @@ def q_dedup_exact(sf_dir: str):
     return textops.dedup_exact_ds(sf_dir)
 
 
+def q_curate_corpus(sf_dir: str):
+    """The composite curation pipeline (lang-id → quality gate → exact
+    dedup → token budget) in one streaming pass — the shape a 100-TB
+    training-data job runs, with one shuffle total."""
+    return textops.curate_corpus_ds(sf_dir)
+
+
 def q_text_quality(sf_dir: str):
     return textops.text_quality_ds(sf_dir)
 
@@ -789,6 +796,7 @@ QUERIES = {
     "embed_concepts": q_embed_concepts,
     "embed_relations": q_embed_relations,
     "rag_topk": q_rag_topk,
+    "curate_corpus": q_curate_corpus,
     # kg_stats sits LAST among the mirrors deliberately: if the driver caps
     # at 50 checked queries (51 mirrors exist), the row lost is the one
     # already proven green in round 2 and weakest (four count columns)
@@ -1335,6 +1343,26 @@ def build_oracle_sql() -> dict[str, str]:
             FROM s, qq
             ORDER BY dot / (na * nq) DESC, name
             LIMIT 5
+        """,
+        "curate_corpus": """
+            WITH q AS (
+                SELECT doc_id, md5(text) AS content_hash,
+                       length(text)::BIGINT AS n_chars,
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
+                       (length(text) // 2)::BIGINT AS est_tokens,
+                       len(regexp_extract_all(text, '[一-鿿]'))::BIGINT AS n_cjk
+                FROM documents),
+                 f AS (SELECT * FROM q WHERE n_chars >= 20 AND n_tokens >= 5)
+            SELECT content_hash,
+                   min(doc_id)::BIGINT AS keep_doc_id,
+                   arg_min(CASE WHEN n_chars > 0 AND n_cjk * 1.0 / n_chars > 0.3
+                                THEN 'zh' ELSE 'en' END, doc_id) AS lang_pred,
+                   arg_min(n_chars, doc_id)::BIGINT AS n_chars,
+                   arg_min(n_tokens, doc_id)::BIGINT AS n_tokens,
+                   arg_min(est_tokens, doc_id)::BIGINT AS est_tokens,
+                   count(*)::BIGINT AS n_dups
+            FROM f GROUP BY 1
         """,
         "media_features": f"""
             WITH m AS (SELECT url, md5(decode(html)) AS h FROM read_parquet('{_P}')),

@@ -101,3 +101,28 @@ def test_embedding_lsh_recall(ray_session):
     assert got_pairs <= exact  # never a false pair
     if exact:
         assert len(got_pairs) / len(exact) >= 0.25  # multi-table recall floor
+
+
+def test_curate_corpus_gate_and_dedup(ray_session, tmp_path):
+    """Composite curation: quality thresholds are inclusive, duplicate text
+    keeps the min doc_id with a dup count, short/thin docs are dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray.pipelines.textops import curate_corpus_ds
+
+    long_en = "word " * 10  # 50 chars, 10 tokens
+    docs = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 4, 5], pa.int64()),
+            "text": [long_en, long_en, "short", "一" * 30 + " 二 三 四 五", "a b c d e"],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = curate_corpus_ds(str(tmp_path)).to_pandas()
+    by_id = {r.keep_doc_id: r for r in got.itertuples()}
+    # dup text: doc 1 kept (min id), n_dups 2; doc 2 too short; doc 5 too
+    # few chars (9 < 20)
+    assert set(by_id) == {1, 4}
+    assert by_id[1].n_dups == 2 and by_id[1].lang_pred == "en"
+    assert by_id[4].lang_pred == "zh" and by_id[4].n_dups == 1
