@@ -30,6 +30,28 @@ from ..sources import read_pages
 from ..state.lineage import CounterActor, Manifest
 from . import kg
 
+# fsspec's HTTP module needs aiohttp (absent here) and FAILS to import; a
+# failed import is retried — and re-executed — on every attempt, so two
+# driver threads creating Datasets concurrently can race the partial module
+# and crash Ray's path resolution with "cannot import name HTTPFileSystem"
+# (an ImportError its ModuleNotFoundError guard does not catch).  Pin a
+# sentinel module in sys.modules so every later import is a cache hit;
+# Ray's isinstance() check against the sentinel class is False for every
+# real filesystem — identical behavior to the ModuleNotFoundError branch.
+try:  # pragma: no cover - environment-dependent
+    from fsspec.implementations.http import HTTPFileSystem as _HTTPFS  # noqa: F401
+except Exception:  # pragma: no cover
+    import sys as _sys
+    import types as _types
+
+    _m = _types.ModuleType("fsspec.implementations.http")
+
+    class _SentinelHTTPFileSystem:  # real one unimportable in this env
+        pass
+
+    _m.HTTPFileSystem = _SentinelHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _m
+
 
 def _dir_rows(d: str) -> int:
     """Row count of a parquet dir from file footers — no data read."""
@@ -177,21 +199,54 @@ def run_kg_pipeline(
         manifest.mark_done("nodes", _dir_rows(nodes_dir), wall_sec=time.time() - t0)
         _checkpoint_gate()
 
-    # ---- phase 3: edges ----------------------------------------------------
+    # ---- phases 3-5: edges / canonical / mentions --------------------------
+    # Mutually independent given the parsed checkpoint and the nodes table.
+    # They CAN run concurrently from driver threads (KGBH_CONCURRENT_PHASES
+    # =1), but sequential is the measured default in local mode: three
+    # streaming executors on one driver GIL thrash — same-load A/B on the
+    # 50k-page bench measured 23.6 s concurrent vs 13.6 s sequential
+    # (PERF.md round 3).  On a multi-node cluster, where driver-side
+    # coordination is a small fraction of each phase, the overlap is worth
+    # re-measuring — the machinery below is load-tested (resume + deadlock
+    # guards) either way.  Resume semantics are identical in both modes:
+    # each unit writes its own dir and appends its own manifest line
+    # (lock-serialized).  The kill-injection test hook (_fail_after_units)
+    # forces sequential order so unit-count semantics in tests stay
+    # deterministic.
+    import threading
+
+    _mark_lock = threading.Lock()
+
+    def _mark(unit: str, rows: int, t0: float) -> None:
+        with _mark_lock:
+            manifest.mark_done(unit, rows, wall_sec=time.time() - t0)
+
+    ncpu_now = int(ray.cluster_resources().get("CPU", 8))
+    concurrent_phases = (_fail_after_units is None
+                         and os.environ.get('KGBH_CONCURRENT_PHASES') == '1')
+    # two actor-pool phases may coexist: split the pool budget so BOTH
+    # pools together claim at most ncpu-2 — two slots must stay free for
+    # the pools' own upstream read tasks or the phase deadlocks (round-1
+    # PERF note, observed again here at the 4-CPU test session)
+    if concurrent_phases:
+        pool_cap = max(1, min(ncpu_now // 4, (ncpu_now - 2) // 2))
+    else:
+        pool_cap = max(2, min(8, ncpu_now // 2))
+
     edges_dir = os.path.join(out_dir, "edges")
-    if "edges" not in done:
+
+    def _run_edges() -> None:
         t0 = time.time()
         manifest.clean_unit_dir(edges_dir)
         node_ids = frozenset(_read_small(nodes_dir, ["id"])["id"])
         edges = kg.edges_ds(_parsed(columns=["url", "triples"]), node_ids=node_ids)
         _write_adjacency(edges, edges_dir)
-        manifest.mark_done("edges", _dir_rows(edges_dir), wall_sec=time.time() - t0)
-        _checkpoint_gate()
+        _mark("edges", _dir_rows(edges_dir), t0)
 
-    # ---- phase 4: canonicalization ----------------------------------------
     canon_dir = os.path.join(out_dir, "canonical")
     ecanon_dir = os.path.join(out_dir, "edges_canonical")
-    if "canonical" not in done:
+
+    def _run_canonical() -> None:
         t0 = time.time()
         manifest.clean_unit_dir(canon_dir)
         manifest.clean_unit_dir(ecanon_dir)
@@ -231,43 +286,44 @@ def run_kg_pipeline(
             if "norm_key" in canon_pdf.columns
             else {}
         )
-        ncpu_now = int(ray.cluster_resources().get("CPU", 8))
-        # fixed pool, capped at 8: the per-batch work is a vectorized dict
-        # map — spin-up of a CPU-wide pool costs more than it buys and
-        # starves the checkpoint read (same measurement as the mentions
-        # pool, PERF.md round 3)
+        # fixed pool, capped (see pool_cap above): the per-batch work is a
+        # vectorized dict map — spin-up of a CPU-wide pool costs more than
+        # it buys and starves the checkpoint read (same measurement as the
+        # mentions pool, PERF.md round 3)
         ecanon = kg.edges_canonical_ds(
             _parsed(columns=["url", "triples"]),
             canon_map=canon_map,
-            concurrency=max(2, min(8, ncpu_now // 2)),
+            concurrency=pool_cap,
         )
         _write_adjacency(ecanon, ecanon_dir)
-        manifest.mark_done("canonical", _dir_rows(ecanon_dir), wall_sec=time.time() - t0)
-        _checkpoint_gate()
+        _mark("canonical", _dir_rows(ecanon_dir), t0)
 
-    # ---- phase 5: mention detection (NER actor pool) ----------------------
     mentions_dir = os.path.join(out_dir, "mentions")
-    if "mentions" not in done:
+
+    def _run_mentions() -> None:
         t0 = time.time()
         manifest.clean_unit_dir(mentions_dir)
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        # STREAM the checkpoint into a fixed pool of ncpu-2 taggers: two CPU
-        # slots stay free for the upstream read tasks so the pool never
-        # starves its own input (a pool equal to the CPU count deadlocks —
-        # PERF.md round 1), and no corpus-sized dataset is ever pinned in
-        # the object store (round-1 verdict's #1 scale-killer)
+        # STREAM the checkpoint into a bounded tagger pool: slots stay free
+        # for the upstream read tasks so the pool never starves its own
+        # input (a pool equal to the CPU count deadlocks — PERF.md round 1),
+        # and no corpus-sized dataset is ever pinned in the object store
+        # (round-1 verdict's #1 scale-killer)
         extracted = rd.read_parquet(
-            parsed_dir, columns=["url", "text_out"], override_num_blocks=ncpu * 2
+            parsed_dir, columns=["url", "text_out"], override_num_blocks=ncpu_now * 2
         )
-        pool = max(1, ncpu - 2)
+        pool = max(1, ncpu_now - 2)
         if tagger == "crf":
             from ..stages.crf import crf_mentions_ds
 
-            mentions = crf_mentions_ds(extracted, concurrency=pool)
+            mentions = crf_mentions_ds(
+                extracted, concurrency=max(2, pool_cap) if concurrent_phases else pool
+            )
         elif tagger == "pattern":
             from ..stages.ner import pattern_mentions_ds
 
-            mentions = pattern_mentions_ds(extracted, concurrency=pool)
+            mentions = pattern_mentions_ds(
+                extracted, concurrency=max(2, pool_cap) if concurrent_phases else pool
+            )
         else:
             from ..stages.ner import mentions_ds
 
@@ -284,10 +340,36 @@ def run_kg_pipeline(
             gaz = (names_pdf["name"].tolist(), names_pdf["type"].tolist())
             # trie matcher → compute is ~0.13 ms/page: a small pool leaves
             # the CPUs to the read/write tasks (see mentions_ds docstring)
-            mentions = mentions_ds(extracted, gaz, concurrency=min(8, pool))
+            mentions = mentions_ds(extracted, gaz, concurrency=min(pool_cap, pool))
         mentions.write_parquet(mentions_dir)
-        manifest.mark_done("mentions", _dir_rows(mentions_dir), wall_sec=time.time() - t0)
-        _checkpoint_gate()
+        _mark("mentions", _dir_rows(mentions_dir), t0)
+
+    pending = [(unit, fn) for unit, fn in
+               [("edges", _run_edges), ("canonical", _run_canonical),
+                ("mentions", _run_mentions)] if unit not in done]
+    if concurrent_phases and len(pending) > 1:
+        errors: list[BaseException] = []
+
+        def _guard(t_fn):
+            def run():
+                try:
+                    t_fn()
+                except BaseException as e:  # surface thread failures
+                    errors.append(e)
+            return run
+
+        threads = [threading.Thread(target=_guard(fn), name=f"phase-{u}")
+                   for u, fn in pending]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+    else:
+        for _unit, fn in pending:
+            fn()
+            _checkpoint_gate()
 
     return {
         "out_dir": out_dir,
