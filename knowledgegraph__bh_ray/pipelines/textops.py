@@ -22,6 +22,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import ray
 
 from ..functions.hashing import min_k_sketch, rolling_fingerprints
 from ..sources import read_table
@@ -151,6 +152,101 @@ def fingerprint_ds(sf_dir: str, window: int = 4, k: int = 8):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(_batch, batch_format="pandas")
+
+
+def _gram_frame(batch: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Explode a documents batch into (doc_id, gram_hash) rows — one row per
+    token ``n``-gram position.  Tokenize = lower → trim → split ``\\s+``
+    (the corpus-wide SQL-mirror convention); gram strings are built with
+    pandas C string ops via groupby-shift (the bigram_top pattern widened to
+    n), then hashed to uint64 with ``pd.util.hash_array`` (deterministic
+    64-bit siphash, fixed key — stable across processes)."""
+    toks = batch["text"].str.lower().str.strip().str.split(RE_WS)
+    df = pd.DataFrame({"doc_id": batch["doc_id"], "term": toks}).explode("term")
+    df = df[df["term"].notna() & (df["term"] != "")]
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "gram_hash": pd.Series([], dtype="uint64")}
+    )
+    if df.empty:
+        return empty
+    gram = df["term"].astype(str)
+    grp = df.groupby("doc_id", sort=False)["term"]
+    valid = pd.Series(True, index=df.index)
+    for j in range(1, n):
+        nxt = grp.shift(-j)
+        valid &= nxt.notna()
+        gram = gram + " " + nxt.astype(str)
+    df = df[valid]
+    if df.empty:
+        return empty
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].astype("int64").values,
+         "gram_hash": pd.util.hash_array(gram[valid].to_numpy(dtype=object))}
+    )
+
+
+def decontaminate_ds(sf_dir: str, n: int = 5, eval_mod: int = 10):
+    """Train/eval decontamination: flag every training document that shares
+    at least one token ``n``-gram with the held-out eval split (the
+    deterministic ``doc_id % eval_mod == 0`` slice).  Output one row per
+    train doc: ``(doc_id, n_grams, n_hits, contaminated)`` — the standard
+    n-gram-overlap decontamination rule used for LLM training corpora.
+
+    100-TB design: an eval set is benchmark-sized by definition (thousands
+    of docs against a corpus of billions), so its distinct gram-hash set is
+    built distributed (vectorized per-batch hashing → distributed distinct)
+    and broadcast ONCE via ``ray.put`` as a *sorted* uint64 array; every
+    train batch then probes it with one vectorized ``np.searchsorted`` —
+    the corpus-sized gram table never shuffles.  Collision odds per probe
+    are |eval grams| / 2^64.  Docs with fewer than ``n`` tokens stay in the
+    output with ``n_grams = 0`` (never flagged)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _nonempty(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["text"].str.strip() != ""]
+
+    docs = docs.map_batches(_nonempty, batch_format="pandas")
+
+    def _eval_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        g = _gram_frame(batch[batch["doc_id"] % eval_mod == 0], n)
+        # per-batch distinct — the distributed distinct then only moves
+        # one row per (batch, gram)
+        return pd.DataFrame({"gram_hash": np.unique(g["gram_hash"].values)})
+
+    vals = docs.map_batches(_eval_grams, batch_format="pandas").unique("gram_hash")
+    eval_hashes = np.sort(np.fromiter(vals, dtype=np.uint64, count=len(vals)))
+    ev_ref = ray.put(eval_hashes)
+
+    def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(ev_ref)
+        train = batch[batch["doc_id"] % eval_mod != 0]
+        toks = train["text"].str.lower().str.strip().str.split(RE_WS)
+        n_tok = toks.map(len).astype("int64")
+        n_grams = np.maximum(n_tok - (n - 1), 0)
+        g = _gram_frame(train, n)
+        h = g["gram_hash"].values
+        if ev.size and h.size:
+            idx = np.searchsorted(ev, h)
+            found = (idx < ev.size) & (ev[np.minimum(idx, ev.size - 1)] == h)
+        else:
+            found = np.zeros(h.size, dtype=bool)
+        hits = pd.Series(found.astype("int64"), index=g.index).groupby(
+            g["doc_id"].values, sort=False
+        ).sum()
+        n_hits = (
+            pd.Series(train["doc_id"].values).map(hits).fillna(0).astype("int64").values
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": train["doc_id"].astype("int64").values,
+                "n_grams": n_grams.astype("int64"),
+                "n_hits": n_hits,
+                "contaminated": (n_hits > 0).astype("int64"),
+            }
+        )
+
+    return docs.map_batches(_probe, batch_format="pandas")
 
 
 def tfidf_terms_ds(sf_dir: str, k: int = 10):

@@ -535,6 +535,14 @@ def q_curate_corpus(sf_dir: str):
     return textops.curate_corpus_ds(sf_dir)
 
 
+def q_decontaminate(sf_dir: str):
+    """Train/eval decontamination: n-gram overlap flagging of train docs
+    against the deterministic eval split (doc_id % 10 == 0), the standard
+    LLM-corpus decontamination rule.  Eval gram set broadcast once; train
+    side streams."""
+    return textops.decontaminate_ds(sf_dir, n=5, eval_mod=10)
+
+
 def q_text_quality(sf_dir: str):
     return textops.text_quality_ds(sf_dir)
 
@@ -797,6 +805,7 @@ QUERIES = {
     "embed_relations": q_embed_relations,
     "rag_topk": q_rag_topk,
     "curate_corpus": q_curate_corpus,
+    "decontaminate": q_decontaminate,
     # kg_stats sits LAST among the mirrors deliberately: if the driver caps
     # at 50 checked queries (51 mirrors exist), the row lost is the one
     # already proven green in round 2 and weakest (four count columns)
@@ -1363,6 +1372,33 @@ def build_oracle_sql() -> dict[str, str]:
                    arg_min(est_tokens, doc_id)::BIGINT AS est_tokens,
                    count(*)::BIGINT AS n_dups
             FROM f GROUP BY 1
+        """,
+        "decontaminate": """
+            WITH arrs AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE trim(text) != ''
+            ),
+            g AS (
+              SELECT doc_id, unnest(range(1, greatest(len(arr) - 4, 0) + 1)) AS i, arr
+              FROM arrs
+            ),
+            grams AS (SELECT doc_id, array_to_string(arr[i:i+4], ' ') AS gram FROM g),
+            eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+            train_docs AS (
+              SELECT doc_id, greatest(len(arr) - 4, 0)::BIGINT AS n_grams
+              FROM arrs WHERE doc_id % 10 != 0
+            ),
+            hits AS (
+              SELECT t.doc_id, count(*)::BIGINT AS n_hits
+              FROM grams t JOIN eval_grams e USING (gram)
+              WHERE t.doc_id % 10 != 0
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, d.n_grams,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   (CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS contaminated
+            FROM train_docs d LEFT JOIN hits h USING (doc_id)
         """,
         "media_features": f"""
             WITH m AS (SELECT url, md5(decode(html)) AS h FROM read_parquet('{_P}')),

@@ -126,3 +126,37 @@ def test_curate_corpus_gate_and_dedup(ray_session, tmp_path):
     assert set(by_id) == {1, 4}
     assert by_id[1].n_dups == 2 and by_id[1].lang_pred == "en"
     assert by_id[4].lang_pred == "zh" and by_id[4].n_dups == 1
+
+
+def test_decontaminate_flags_ngram_overlap(ray_session, tmp_path):
+    """Train docs sharing a 5-gram with the eval split (doc_id % 10 == 0)
+    are flagged with exact hit counts; short docs stay with n_grams=0;
+    eval docs and whitespace-only docs never appear in the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray.pipelines.textops import decontaminate_ds
+
+    eval_text = "alpha beta gamma delta epsilon zeta"      # grams: a..e, b..z
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 1, 2, 3, 4, 5], pa.int64()),
+            "text": [
+                eval_text,                                   # eval doc
+                "alpha beta gamma delta epsilon eta",        # 1 shared gram (a..e)
+                "Alpha  Beta gamma\tdelta epsilon zeta",     # case/ws-normalized: 2 hits
+                "unrelated words entirely different corpus here",  # 0 hits
+                "too short",                                 # < 5 tokens → 0 grams
+                "   ",                                       # whitespace-only → dropped
+            ],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = decontaminate_ds(str(tmp_path), n=5, eval_mod=10).to_pandas()
+    by_id = {r.doc_id: r for r in got.itertuples()}
+    assert set(by_id) == {1, 2, 3, 4}
+    assert by_id[1].n_hits == 1 and by_id[1].contaminated == 1
+    assert by_id[2].n_hits == 2 and by_id[2].contaminated == 1
+    assert by_id[3].n_hits == 0 and by_id[3].contaminated == 0
+    assert by_id[4].n_grams == 0 and by_id[4].contaminated == 0
+    assert by_id[1].n_grams == 2 and by_id[3].n_grams == 2
