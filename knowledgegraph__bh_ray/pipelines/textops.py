@@ -249,6 +249,180 @@ def decontaminate_ds(sf_dir: str, n: int = 5, eval_mod: int = 10):
     return docs.map_batches(_probe, batch_format="pandas")
 
 
+# PII patterns — RE2-compatible (no lookarounds/backrefs) so the DuckDB
+# mirror composes the SAME automaton; [0-9] not \d (unicode-digit parity)
+RE_PII_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+RE_PII_IP = re.compile(r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+RE_PII_PHONE = re.compile(r"\+?[0-9][0-9\- ]{7,}[0-9]")
+
+
+def pii_scrub_ds(sf_dir: str):
+    """PII redaction for training corpora: emails → ``[EMAIL]``, IPv4s →
+    ``[IP]``, phone-shaped digit runs → ``[PHONE]``, applied in that fixed
+    order (each count is taken on the previous stage's output, so the
+    composition is deterministic and the SQL mirror replays it exactly).
+
+    Shuffle-free: one vectorized pandas C-regex pass per batch.  On a clean
+    corpus this is an identity map — the DuckDB gate then proves byte-exact
+    text pass-through; the redaction semantics are pytest-gated on
+    synthetic PII fixtures."""
+
+    def _batch(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"]
+        n_emails = t.str.count(RE_PII_EMAIL).astype("int64")
+        c1 = t.str.replace(RE_PII_EMAIL, "[EMAIL]", regex=True)
+        n_ips = c1.str.count(RE_PII_IP).astype("int64")
+        c2 = c1.str.replace(RE_PII_IP, "[IP]", regex=True)
+        n_phones = c2.str.count(RE_PII_PHONE).astype("int64")
+        c3 = c2.str.replace(RE_PII_PHONE, "[PHONE]", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "text_clean": c3,
+                "n_emails": n_emails,
+                "n_ips": n_ips,
+                "n_phones": n_phones,
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(_batch, batch_format="pandas")
+
+
+def repetition_filter_ds(sf_dir: str, flag_micros: int = 200000):
+    """Gopher-style repetition quality signals, per document: distinct-token
+    ratio and top-bigram fraction (the "fraction of characters in the most
+    common n-gram" family of rules), plus the standard flag at 20%.  All
+    ratios are integer micros (floor division) so the DuckDB mirror hashes
+    exactly.
+
+    Embarrassingly parallel — grouping is per-doc and a doc never spans
+    batches, so there is NO shuffle: one vectorized pass (explode +
+    groupby-shift bigrams + per-doc value counts) per batch."""
+
+    def _batch(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["text"].str.strip() != ""
+        batch = batch[keep]
+        toks = batch["text"].str.lower().str.strip().str.split(RE_WS)
+        doc_id = batch["doc_id"].astype("int64")
+        n_tokens = toks.map(len).astype("int64")
+        n_distinct = toks.map(lambda t: len(set(t))).astype("int64")
+
+        df = pd.DataFrame({"doc_id": doc_id, "term": toks}).explode("term")
+        df["nxt"] = df.groupby("doc_id", sort=False)["term"].shift(-1)
+        df = df[df["nxt"].notna()]
+        out = pd.DataFrame(
+            {
+                "doc_id": doc_id.values,
+                "n_tokens": n_tokens.values,
+                "n_distinct": n_distinct.values,
+                "distinct_ratio_micros": (n_distinct * 1_000_000 // n_tokens).values,
+            }
+        )
+        if df.empty:
+            out["top_bigram_count"] = np.int64(0)
+            out["top_bigram_frac_micros"] = np.int64(0)
+        else:
+            big = df["term"].astype(str) + " " + df["nxt"].astype(str)
+            counts = (
+                pd.DataFrame({"doc_id": df["doc_id"].values, "bigram": big.values})
+                .groupby(["doc_id", "bigram"], sort=False)
+                .size()
+            )
+            per_doc = counts.groupby(level="doc_id")
+            top2 = per_doc.max()
+            nbig = per_doc.sum()
+            out["top_bigram_count"] = (
+                out["doc_id"].map(top2).fillna(0).astype("int64")
+            )
+            frac = (top2 * 1_000_000 // nbig).astype("int64")
+            out["top_bigram_frac_micros"] = (
+                out["doc_id"].map(frac).fillna(0).astype("int64")
+            )
+        out["flagged"] = (out["top_bigram_frac_micros"] > flag_micros).astype("int64")
+        return out
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(_batch, batch_format="pandas")
+
+
+def pack_sequences_ds(sf_dir: str, seq_len: int = 512, range_size: int = 64):
+    """Concat-and-chunk sequence packing (the GPT-style training-data
+    layout): documents concatenated in doc_id order, the token stream cut
+    into fixed ``seq_len`` sequences; per doc emit its global
+    ``token_offset`` and the ``first_seq``/``last_seq`` bins it lands in —
+    exactly what a packing job needs to route each doc to sequence shards.
+
+    The global prefix sum is computed distributed, no total sort:
+
+      1. one streaming pass → narrow ``(doc_id, n_tokens, range_key)`` rows
+         (``range_key = doc_id // range_size``), materialized once (3
+         int64s/doc — object-store resident, spillable; avoids re-reading
+         the corpus text for pass 2);
+      2. per-range token sums via a partitioned agg — one row per range, a
+         corpus/range_size-sized table (range_size is set so this is
+         ~1e5 rows at 100 TB), cumsum'd on the driver and broadcast once;
+      3. hash shuffle by ``range_key`` → per-group vectorized sort+cumsum,
+         plus the broadcast range offset.
+
+    The only driver-side state is the per-range sum table; the only
+    shuffle moves the narrow int rows.  ``range_size`` defaults low for
+    the test corpus (500 docs → 8 ranges); at scale set it to ~1e6."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _narrow(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"]
+        keep = t.str.strip() != ""
+        t = t[keep]
+        doc_id = batch["doc_id"][keep].astype("int64")
+        n_tokens = t.str.strip().str.split(RE_WS).map(len).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id.values,
+                "n_tokens": n_tokens.values,
+                "range_key": (doc_id // range_size).values,
+            }
+        )
+
+    tok = docs.map_batches(_narrow, batch_format="pandas").materialize()
+
+    from ..stages.grouped import hash_partitioned_agg
+
+    def _sum(d: pd.DataFrame) -> pd.DataFrame:
+        out = d.groupby("range_key", sort=False, as_index=False)["n_tokens"].sum()
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out
+
+    sums = hash_partitioned_agg(
+        tok.select_columns(["range_key", "n_tokens"]), ["range_key"], _sum
+    ).to_pandas()
+    sums = sums.sort_values("range_key", kind="mergesort")
+    range_keys = sums["range_key"].to_numpy(dtype=np.int64)
+    range_offsets = np.concatenate(
+        ([0], np.cumsum(sums["n_tokens"].to_numpy(dtype=np.int64))[:-1])
+    )
+    off_ref = ray.put((range_keys, range_offsets))
+
+    def _within_range(group: pd.DataFrame) -> pd.DataFrame:
+        keys, offs = ray.get(off_ref)
+        g = group.sort_values("doc_id", kind="mergesort")
+        base = offs[np.searchsorted(keys, int(g["range_key"].iloc[0]))]
+        ends = g["n_tokens"].to_numpy(dtype=np.int64).cumsum()
+        token_offset = base + ends - g["n_tokens"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "n_tokens": g["n_tokens"].to_numpy(dtype=np.int64),
+                "token_offset": token_offset,
+                "first_seq": token_offset // seq_len,
+                "last_seq": (token_offset + g["n_tokens"].to_numpy(dtype=np.int64) - 1)
+                // seq_len,
+            }
+        )
+
+    return tok.groupby("range_key").map_groups(_within_range, batch_format="pandas")
+
+
 def tfidf_terms_ds(sf_dir: str, k: int = 10):
     """TF-IDF table: the top-``k`` terms of each document by term frequency,
     joined with each term's corpus document frequency — integer columns

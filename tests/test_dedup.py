@@ -160,3 +160,110 @@ def test_decontaminate_flags_ngram_overlap(ray_session, tmp_path):
     assert by_id[3].n_hits == 0 and by_id[3].contaminated == 0
     assert by_id[4].n_grams == 0 and by_id[4].contaminated == 0
     assert by_id[1].n_grams == 2 and by_id[3].n_grams == 2
+
+
+def test_pack_sequences_prefix_sum(ray_session, tmp_path):
+    """Global token offsets equal the serial cumsum in doc_id order even
+    with doc_id gaps across ranges; bin spans cover seq_len boundaries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray.pipelines.textops import pack_sequences_ds
+
+    # doc ids straddle several range_size=4 ranges, with gaps
+    ids = [0, 1, 5, 6, 9, 17]
+    texts = ["w " * k for k in (3, 5, 4, 7, 2, 6)]  # token counts 3,5,4,7,2,6
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": [t.strip() for t in texts]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        pack_sequences_ds(str(tmp_path), seq_len=8, range_size=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == ids
+    # serial reference
+    off, offs = 0, []
+    for k in (3, 5, 4, 7, 2, 6):
+        offs.append(off)
+        off += k
+    assert list(got["token_offset"]) == offs
+    assert list(got["first_seq"]) == [o // 8 for o in offs]
+    assert list(got["last_seq"]) == [
+        (o + k - 1) // 8 for o, k in zip(offs, (3, 5, 4, 7, 2, 6))
+    ]
+    # doc 6 (offset 12, 7 tokens) must span bins 1..2
+    row = got[got["doc_id"] == 6].iloc[0]
+    assert (row["first_seq"], row["last_seq"]) == (1, 2)
+
+
+def test_repetition_filter_signals(ray_session, tmp_path):
+    """Distinct-token ratio and top-bigram fraction match hand computation;
+    the 20% Gopher flag fires on a degenerate doc only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray.pipelines.textops import repetition_filter_ds
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "spam ham spam ham spam ham",   # top bigram "spam ham" 3/5
+                "all tokens here are unique",
+                "one two",                      # single bigram → frac 1.0
+            ],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = repetition_filter_ds(str(tmp_path)).to_pandas()
+    by_id = {r.doc_id: r for r in got.itertuples()}
+    assert by_id[1].n_tokens == 6 and by_id[1].n_distinct == 2
+    assert by_id[1].top_bigram_count == 3
+    assert by_id[1].top_bigram_frac_micros == 3 * 1_000_000 // 5
+    assert by_id[1].flagged == 1
+    assert by_id[2].n_distinct == 5 and by_id[2].flagged == 1  # every bigram unique but 1/4 > 20%
+    assert by_id[3].top_bigram_frac_micros == 1_000_000
+
+
+def test_pii_scrub_matches_duckdb_on_pii_text(ray_session, tmp_path):
+    """Engine redaction ≡ the DuckDB mirror SQL on text that actually
+    CONTAINS PII (the sf corpus is clean, so the driver gate only proves
+    identity pass-through — this is the semantic gate)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray import queries as Q
+    from knowledgegraph__bh_ray.pipelines.textops import pii_scrub_ds
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": [
+                "contact me at alice.smith+x@example.co.uk today",
+                "server 192.168.0.1 and 10.0.0.255 rebooted",
+                "call +1 555-123-4567 or 08 1234 5678 now",
+                "mixed bob@ex.org from 127.0.0.1 dials 555-000-1111x",
+                "clean text with no identifiers at all",
+                "edge 999.999.999.999 and a@b.io trailing",
+            ],
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(docs, path)
+    got = (
+        pii_scrub_ds(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    sql = Q.build_oracle_sql()["pii_scrub"].replace(
+        "FROM documents", f"FROM read_parquet('{path}')"
+    )
+    want = duckdb.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+    for col in ("text_clean", "n_emails", "n_ips", "n_phones"):
+        assert list(got[col]) == list(want[col]), col
+    # spot semantics: emails and IPs replaced, clean doc untouched
+    assert "[EMAIL]" in got.loc[0, "text_clean"] and "@" not in got.loc[0, "text_clean"]
+    assert got.loc[1, "text_clean"].count("[IP]") == 2
+    assert got.loc[4, "text_clean"] == docs["text"][4].as_py()
