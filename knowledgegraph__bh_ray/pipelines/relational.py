@@ -385,6 +385,93 @@ def events_with_sessions_ds(sf_dir: str, gap_minutes: int = 30):
     )
 
 
+def events_asof_join_ds(
+    sf_dir: str, left_type: str = "purchase", right_type: str = "click"
+):
+    """As-of join (the time-series join Ray Data lacks natively): each
+    ``left_type`` event picks the most recent same-user ``right_type``
+    event at-or-before its timestamp (ties broken by greatest event_id);
+    unmatched lefts keep -1 sentinels (LEFT semantics, int-only schema so
+    the DuckDB mirror hashes exactly).
+
+    Partitioning assumption (documented per the task brief): all of one
+    user's events co-locate — both sides are hash-partitioned by user_id
+    in ONE shuffle (type-tagged union), then each partition runs one
+    C-implemented ``pd.merge_asof`` over its ts-sorted slice.  No per-user
+    Python, no all-pairs time join; skew bound = events of the hottest
+    user."""
+    from ..stages.grouped import PART_COL, _key_hash
+
+    num_parts = 16
+
+    def _route(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["event_type"].isin([left_type, right_type])
+        b = batch[keep]
+        out = pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+                "is_left": (b["event_type"] == left_type).astype("int64"),
+            }
+        )
+        out[PART_COL] = (_key_hash(out, ["user_id"]) % num_parts).astype("int64")
+        return out
+
+    def _asof(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["is_left"] == 1]
+        right = group[group["is_left"] == 0]
+        p = pd.DataFrame(
+            {
+                "purchase_id": left["event_id"].to_numpy(),
+                "user_id": left["user_id"].to_numpy(),
+                "ts_us": left["ts_us"].to_numpy(),
+            }
+        ).sort_values(["ts_us", "purchase_id"], kind="mergesort")
+        c = pd.DataFrame(
+            {
+                "user_id": right["user_id"].to_numpy(),
+                "ts_us": right["ts_us"].to_numpy(),
+                "click_id": right["event_id"].to_numpy(),
+            }
+        ).sort_values(["ts_us", "click_id"], kind="mergesort")
+        c["click_ts_us"] = c["ts_us"]
+        if p.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("purchase_id", "user_id", "purchase_ts_us",
+                           "click_id", "click_ts_us", "gap_us")}
+            )
+        # merge_asof picks the LAST right row with ts_us <= left ts_us per
+        # user; rights pre-sorted (ts_us, click_id) ⇒ ties resolve to the
+        # greatest click_id — same rule as the mirror's row_number() DESC
+        j = pd.merge_asof(
+            p, c, on="ts_us", by="user_id", direction="backward",
+            allow_exact_matches=True,
+        )
+        out = pd.DataFrame(
+            {
+                "purchase_id": j["purchase_id"].astype("int64"),
+                "user_id": j["user_id"].astype("int64"),
+                "purchase_ts_us": j["ts_us"].astype("int64"),
+                "click_id": j["click_id"].fillna(-1).astype("int64"),
+                "click_ts_us": j["click_ts_us"].fillna(-1).astype("int64"),
+            }
+        )
+        out["gap_us"] = np.where(
+            out["click_id"] >= 0, out["purchase_ts_us"] - out["click_ts_us"], -1
+        ).astype("int64")
+        return out
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    routed = ev.map_batches(_route, batch_format="pandas")
+    return (
+        routed.repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_asof, batch_format="pandas")
+    )
+
+
 def events_sessionize_ds(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization per user (session = events ≤ gap apart).
 

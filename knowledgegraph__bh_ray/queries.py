@@ -596,6 +596,12 @@ def q_events_window(sf_dir: str):
     return relational.events_window_ds(sf_dir)
 
 
+def q_events_asof_join(sf_dir: str):
+    """As-of join: each purchase picks the same user's most recent click
+    at-or-before it (one user-hash shuffle + per-partition merge_asof)."""
+    return relational.events_asof_join_ds(sf_dir)
+
+
 def q_events_sessionize(sf_dir: str):
     return relational.events_sessionize_ds(sf_dir)
 
@@ -794,7 +800,6 @@ QUERIES = {
     "kg_triangles": q_kg_triangles,
     "kg_ancestors": q_kg_ancestors,
     "kg_cooccurrence": q_kg_cooccurrence,
-    "media_meta": q_media_meta,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_embedding": q_dedup_embedding,
@@ -803,6 +808,7 @@ QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_volume": q_join_volume,
     "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
     "events_with_sessions": q_events_with_sessions,
     "events_quantiles": q_events_quantiles,
     "events_hopping_window": q_events_hopping_window,
@@ -831,8 +837,10 @@ QUERIES = {
     # (kg_records/kg_links_all ride the same extract path as kg_extract /
     # kg_links; events_window is subsumed by events_hopping_window;
     # lang_id by curate_corpus's lang_pred; top_parts is a trivial
-    # sort+limit; kg_stats is four count columns).  All six still run in
+    # sort+limit; kg_stats is four count columns; media_meta is a
+    # metadata projection whose stronger sibling media_features stays).  All six still run in
     # tools/check_driver.py and pytest.
+    "media_meta": q_media_meta,
     "kg_records": q_kg_records,
     "kg_links_all": q_kg_links_all,
     "events_window": q_events_window,
@@ -1401,6 +1409,29 @@ def build_oracle_sql() -> dict[str, str]:
                    arg_min(est_tokens, doc_id)::BIGINT AS est_tokens,
                    count(*)::BIGINT AS n_dups
             FROM f GROUP BY 1
+        """,
+        "events_asof_join": """
+            WITH p AS (SELECT event_id AS purchase_id, user_id,
+                              epoch_us(ts) AS purchase_ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id AS click_id, user_id,
+                              epoch_us(ts) AS click_ts_us
+                       FROM events WHERE event_type = 'click'),
+                 j AS (SELECT p.purchase_id, p.user_id, p.purchase_ts_us,
+                              c.click_id, c.click_ts_us,
+                              row_number() OVER (
+                                PARTITION BY p.purchase_id
+                                ORDER BY c.click_ts_us DESC, c.click_id DESC
+                              ) AS rn
+                       FROM p JOIN c ON p.user_id = c.user_id
+                                    AND c.click_ts_us <= p.purchase_ts_us)
+            SELECT p.purchase_id, p.user_id,
+                   p.purchase_ts_us::BIGINT AS purchase_ts_us,
+                   coalesce(j.click_id, -1)::BIGINT AS click_id,
+                   coalesce(j.click_ts_us, -1)::BIGINT AS click_ts_us,
+                   coalesce(p.purchase_ts_us - j.click_ts_us, -1)::BIGINT AS gap_us
+            FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+                   USING (purchase_id, user_id, purchase_ts_us)
         """,
         "pii_scrub": """
             WITH s1 AS (

@@ -216,3 +216,48 @@ def test_hll_accuracy_and_merge_invariance(ray_session):
     assert hll_estimate(a["idx"].to_numpy(), a["rho"].to_numpy()) == hll_estimate(
         b["idx"].to_numpy(), b["rho"].to_numpy()
     )
+
+
+def test_asof_join_semantics(ray_session, tmp_path):
+    """As-of join: most-recent-at-or-before match per user, ties broken by
+    greatest click_id, unmatched purchases keep -1 sentinels, other event
+    types ignored."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray.pipelines.relational import events_asof_join_ds
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+
+    def row(eid, off_us, uid, etype):
+        return (eid, t0 + off_us * us, uid, etype)
+
+    rows = [
+        row(1, 100, 7, "click"),
+        row(2, 200, 7, "click"),
+        row(3, 200, 7, "click"),     # tie with 2 → greatest id wins
+        row(4, 200, 7, "purchase"),  # exact match allowed → click 3
+        row(5, 150, 7, "purchase"),  # → click 1
+        row(6, 50, 7, "purchase"),   # no prior click → sentinels
+        row(7, 300, 8, "view"),      # ignored type
+        row(8, 400, 8, "purchase"),  # user 8 has no clicks → sentinels
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": [r[3] for r in rows],
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = events_asof_join_ds(str(tmp_path)).to_pandas()
+    by_id = {r.purchase_id: r for r in got.itertuples()}
+    assert set(by_id) == {4, 5, 6, 8}
+    assert by_id[4].click_id == 3 and by_id[4].gap_us == 0
+    assert by_id[5].click_id == 1 and by_id[5].gap_us == 50
+    assert by_id[6].click_id == -1 and by_id[6].gap_us == -1
+    assert by_id[8].click_id == -1 and by_id[8].click_ts_us == -1
