@@ -127,7 +127,10 @@ def run_bench() -> dict:
     timed("events_quantiles", lambda: relational.events_quantiles_ds(SF_DIR).count())
     timed("tfidf_terms", lambda: textops.tfidf_terms_ds(SF_DIR).count())
     timed("events_sessionize", lambda: relational.events_sessionize_ds(SF_DIR).count())
+    timed("events_asof_join", lambda: relational.events_asof_join_ds(SF_DIR).count())
     timed("token_count", lambda: textops.token_count_by_lang_ds(SF_DIR).count())
+    timed("decontaminate", lambda: textops.decontaminate_ds(SF_DIR).count())
+    timed("pack_sequences", lambda: textops.pack_sequences_ds(SF_DIR).count())
 
     def _simsearch():
         import numpy as np
