@@ -423,6 +423,52 @@ def pack_sequences_ds(sf_dir: str, seq_len: int = 512, range_size: int = 64):
     return tok.groupby("range_key").map_groups(_within_range, batch_format="pandas")
 
 
+def inverted_index_ds(sf_dir: str, num_parts: int = 16):
+    """Inverted index: term → document frequency + the ordered posting list
+    (comma-joined sorted doc_ids — a string so the DuckDB ``string_agg ...
+    ORDER BY`` mirror hashes exactly).
+
+    Per-batch: vectorized explode + (doc, term) dedup, so the shuffle moves
+    one row per distinct (batch, term, doc) pair; ONE hash shuffle on term
+    co-locates each term's postings; per-partition a single vectorized sort
+    + groupby builds every posting list.  Postings of one term live on one
+    partition — the standard index-sharding layout (shard by term hash);
+    a Zipf-hot term costs its df in one partition, which is exactly the
+    posting list a real index shard stores anyway."""
+    from ..stages.grouped import PART_COL, _key_hash
+
+    def _pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["text"].str.strip() != ""
+        b = batch[keep]
+        toks = b["text"].str.lower().str.strip().str.split(RE_WS)
+        df = pd.DataFrame({"doc_id": b["doc_id"].astype("int64"), "term": toks}).explode(
+            "term"
+        )
+        df = df[df["term"].notna() & (df["term"] != "")].drop_duplicates(
+            ["doc_id", "term"]
+        )
+        out = df.reset_index(drop=True)
+        out[PART_COL] = (_key_hash(out, ["term"]) % num_parts).astype("int64")
+        return out
+
+    def _index(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["term", "doc_id"], kind="mergesort")
+        agg = g.groupby("term", sort=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        )
+        agg["df"] = agg["df"].astype("int64")
+        return agg.reset_index()
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = docs.map_batches(_pairs, batch_format="pandas")
+    return (
+        pairs.repartition(num_parts).groupby(PART_COL).map_groups(
+            _index, batch_format="pandas"
+        )
+    )
+
+
 def tfidf_terms_ds(sf_dir: str, k: int = 10):
     """TF-IDF table: the top-``k`` terms of each document by term frequency,
     joined with each term's corpus document frequency — integer columns

@@ -543,6 +543,12 @@ def q_decontaminate(sf_dir: str):
     return textops.decontaminate_ds(sf_dir, n=5, eval_mod=10)
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted index: term → df + ordered posting list, sharded by term
+    hash in one shuffle."""
+    return textops.inverted_index_ds(sf_dir)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (emails/IPv4/phone runs → placeholders, fixed
     composition order) with per-doc redaction counts."""
@@ -787,7 +793,6 @@ QUERIES = {
     "kg_edges": q_kg_edges,
     "kg_entity_link": q_kg_entity_link,
     "kg_edges_canonical": q_kg_edges_canonical,
-    "kg_degree": q_kg_degree,
     "kg_mentions": q_kg_mentions,
     "kg_node_parents": q_kg_node_parents,
     "kg_extract_zh": q_kg_extract_zh,
@@ -828,18 +833,22 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "repetition_filter": q_repetition_filter,
+    "inverted_index": q_inverted_index,
     "pii_scrub": q_pii_scrub,
-    # --- SQL-mirrored but BEYOND the driver's 50-row cap (56 mirrors
-    # exist; r2's file stopped at exactly 50).  These six are the
-    # deliberate sacrifices: every one was hash-checked GREEN in round 2
-    # on code unchanged since, and each is the least-informative member
-    # of a family whose stronger sibling stays inside the cap
+    # --- SQL-mirrored but BEYOND the driver's 50-row cap (58 mirrors
+    # exist; r2's file stopped at exactly 50).  These are the deliberate
+    # sacrifices: every one was hash-checked GREEN in round 2 on code
+    # unchanged since, and each is the least-informative member of a
+    # family whose stronger sibling stays inside the cap
     # (kg_records/kg_links_all ride the same extract path as kg_extract /
     # kg_links; events_window is subsumed by events_hopping_window;
     # lang_id by curate_corpus's lang_pred; top_parts is a trivial
     # sort+limit; kg_stats is four count columns; media_meta is a
-    # metadata projection whose stronger sibling media_features stays).  All six still run in
-    # tools/check_driver.py and pytest.
+    # metadata projection whose stronger sibling media_features stays;
+    # kg_degree is a two-column salted group-count over the checked
+    # kg_edges table — same machinery as kg_entity_freq which stays).
+    # All still run in tools/check_driver.py and pytest.
+    "kg_degree": q_kg_degree,
     "media_meta": q_media_meta,
     "kg_records": q_kg_records,
     "kg_links_all": q_kg_links_all,
@@ -1409,6 +1418,18 @@ def build_oracle_sql() -> dict[str, str]:
                    arg_min(est_tokens, doc_id)::BIGINT AS est_tokens,
                    count(*)::BIGINT AS n_dups
             FROM f GROUP BY 1
+        """,
+        "inverted_index": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+                FROM documents WHERE trim(text) != ''
+              )
+            )
+            SELECT term, count(*)::BIGINT AS df,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+            FROM toks GROUP BY term
         """,
         "events_asof_join": """
             WITH p AS (SELECT event_id AS purchase_id, user_id,

@@ -267,3 +267,45 @@ def test_pii_scrub_matches_duckdb_on_pii_text(ray_session, tmp_path):
     assert "[EMAIL]" in got.loc[0, "text_clean"] and "@" not in got.loc[0, "text_clean"]
     assert got.loc[1, "text_clean"].count("[IP]") == 2
     assert got.loc[4, "text_clean"] == docs["text"][4].as_py()
+
+
+def test_inverted_index_postings(ray_session, tmp_path):
+    """Posting lists are doc-id-sorted and deduped (repeated term in one
+    doc counts once); result is invariant to the term-hash shard count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray.pipelines.textops import inverted_index_ds
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+            "text": [
+                "apple banana apple",          # apple deduped within doc 3
+                "Banana cherry",               # lowercased → banana
+                "cherry  apple\tcherry",       # multi-ws split, cherry deduped
+                "   ",                         # whitespace-only → dropped
+            ],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = (
+        inverted_index_ds(str(tmp_path))
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    want = {
+        "apple": (2, "2,3"),
+        "banana": (2, "1,3"),
+        "cherry": (2, "1,2"),
+    }
+    assert dict(zip(got["term"], zip(got["df"], got["postings"]))) == want
+    # shard-count invariance: different num_parts, identical index
+    got4 = (
+        inverted_index_ds(str(tmp_path), num_parts=4)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    assert got4.equals(got)
