@@ -131,6 +131,25 @@ def run_bench() -> dict:
     timed("token_count", lambda: textops.token_count_by_lang_ds(SF_DIR).count())
     timed("decontaminate", lambda: textops.decontaminate_ds(SF_DIR).count())
     timed("pack_sequences", lambda: textops.pack_sequences_ds(SF_DIR).count())
+    timed(
+        "boilerplate_strip",
+        lambda: textops.boilerplate_strip_core(
+            extracted_cached_ds(SF_DIR, replicas=REPLICAS)
+        ).count(),
+    )
+    timed("shuffle_shard", lambda: textops.shuffle_shard_ds(SF_DIR).count())
+
+    def _kcore(threshold):
+        from knowledgegraph__bh_ray.stages.pagerank import k_core_ds
+
+        k_core_ds(
+            kg.page_graph_edges_ds(pages), k=4, driver_threshold=threshold
+        ).count()
+
+    # shipped counted-dispatch path, then the distributed rounds forced —
+    # the scale path a corpus-sized graph takes
+    timed("kg_kcore", lambda: _kcore(2_000_000))
+    timed("kg_kcore_dist", lambda: _kcore(0))
 
     def _simsearch():
         import numpy as np

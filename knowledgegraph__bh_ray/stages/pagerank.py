@@ -338,3 +338,113 @@ def pagerank_ds(edges_ds, damping: float = 0.85, iters: int = 10,
         ), "pr-ranks")
 
     return ranks
+
+
+def k_core_pairs(und: pd.DataFrame, k: int, u: str = "u", v: str = "v"):
+    """Driver-side reference peel (plain pandas) for tests and the counted
+    dispatch.  Input must already be DISTINCT canonical undirected pairs
+    (u < v, no self-loops).  Returns ((url, core_deg) frame, rounds)."""
+    e = und[[u, v]].reset_index(drop=True)
+    rounds = 0
+    while True:
+        rounds += 1
+        deg = pd.concat([e[u], e[v]], ignore_index=True).value_counts()
+        alive = deg[deg >= k].index
+        ne = e[e[u].isin(alive) & e[v].isin(alive)]
+        if len(ne) == len(e):
+            break
+        e = ne.reset_index(drop=True)
+        if not len(e):
+            break
+    deg = pd.concat([e[u], e[v]], ignore_index=True).value_counts().sort_index()
+    return (
+        pd.DataFrame({"url": deg.index, "core_deg": deg.values.astype("int64")}),
+        rounds,
+    )
+
+
+def k_core_ds(edges_ds, k: int = 4, src: str = "src_url", dst: str = "dst_url",
+              num_parts: int = 8, max_rounds: int = 50,
+              driver_threshold: int = 2_000_000):
+    """k-core of the undirected graph: iteratively peel vertices with
+    degree < ``k`` until fixpoint; output ``(url, core_deg)`` for surviving
+    vertices (``core_deg`` = degree inside the stable core, ≥ k by
+    definition of the fixpoint).
+
+    Same counted-dispatch policy as ``pagerank_ds`` / ``stages/cc.py``: the
+    canonical edge list is materialized and COUNTED; small graphs peel
+    driver-side (identical math), large ones run distributed rounds.  Each
+    distributed round is (1) one hash-partitioned degree count and (2) two
+    reduce-side semi-joins (edges ⋈ alive on each endpoint) — all exchanges
+    hash-routed, the driver holds only the edge-count scalar, and the edge
+    set only ever SHRINKS (each round's survivors are re-pinned, so round
+    r+1 scans the peeled set, not the original).  Early exit when a round
+    removes no edge; ``max_rounds`` bounds pathological path graphs."""
+    import ray.data as rd
+
+    from .grouped import (distinct_block, hash_partitioned_agg,
+                          reduce_side_semi_join)
+    from .spill import pin
+
+    def _canon(d: pd.DataFrame) -> pd.DataFrame:
+        a = d.get(src, pd.Series([], dtype=object))
+        b = d.get(dst, pd.Series([], dtype=object))
+        lo = np.where(np.asarray(a) < np.asarray(b), a, b) if len(d) else []
+        hi = np.where(np.asarray(a) < np.asarray(b), b, a) if len(d) else []
+        out = pd.DataFrame({"u": lo, "v": hi})
+        return out[out["u"] != out["v"]] if len(out) else out
+
+    und = pin(hash_partitioned_agg(
+        edges_ds.map_batches(_canon, batch_format="pandas"),
+        ["u", "v"], distinct_block(["u", "v"]), num_parts=num_parts,
+    ), "kcore-und")
+    n_edges = und.count()
+    empty = pd.DataFrame({"url": pd.Series([], dtype=object),
+                          "core_deg": pd.Series([], dtype="int64")})
+    if n_edges == 0:
+        return rd.from_pandas(empty)
+    if n_edges <= driver_threshold:
+        out, _ = k_core_pairs(und.to_pandas(), k)
+        return rd.from_pandas(out if len(out) else empty)
+
+    def _deg_rows(d: pd.DataFrame) -> pd.DataFrame:
+        if "u" not in d.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "deg": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"node": pd.concat([d["u"], d["v"]], ignore_index=True),
+                             "deg": np.int64(1)})
+
+    def _deg_sum(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("node", sort=False, as_index=False)["deg"].sum()
+
+    def _degrees(e):
+        return hash_partitioned_agg(
+            e.map_batches(_deg_rows, batch_format="pandas"),
+            ["node"], _deg_sum, num_parts=num_parts,
+        )
+
+    for _ in range(max_rounds):
+        alive = _degrees(und).map_batches(
+            lambda d: pd.DataFrame(
+                {"node": d.get("node", pd.Series([], dtype=object))}
+            )[np.asarray(d.get("deg", pd.Series([], dtype="int64"))) >= k],
+            batch_format="pandas",
+        )
+        nxt = reduce_side_semi_join(und, ["u", "v"], "u", alive, "node",
+                                    num_parts=num_parts)
+        nxt = pin(reduce_side_semi_join(nxt, ["u", "v"], "v", alive, "node",
+                                        num_parts=num_parts), "kcore-und")
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        und, n_edges = nxt, n_next
+        if n_edges == 0:
+            return rd.from_pandas(empty)
+
+    def _out(d: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in d.columns:
+            return empty
+        return pd.DataFrame({"url": d["node"],
+                             "core_deg": d["deg"].astype("int64")})
+
+    return _degrees(und).map_batches(_out, batch_format="pandas")
