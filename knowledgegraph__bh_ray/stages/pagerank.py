@@ -365,7 +365,8 @@ def k_core_pairs(und: pd.DataFrame, k: int, u: str = "u", v: str = "v"):
 
 def k_core_ds(edges_ds, k: int = 4, src: str = "src_url", dst: str = "dst_url",
               num_parts: int = 8, max_rounds: int = 50,
-              driver_threshold: int = 2_000_000):
+              driver_threshold: int = 2_000_000,
+              bcast_dead_threshold: int = 2_000_000):
     """k-core of the undirected graph: iteratively peel vertices with
     degree < ``k`` until fixpoint; output ``(url, core_deg)`` for surviving
     vertices (``core_deg`` = degree inside the stable core, ≥ k by
@@ -374,12 +375,17 @@ def k_core_ds(edges_ds, k: int = 4, src: str = "src_url", dst: str = "dst_url",
     Same counted-dispatch policy as ``pagerank_ds`` / ``stages/cc.py``: the
     canonical edge list is materialized and COUNTED; small graphs peel
     driver-side (identical math), large ones run distributed rounds.  Each
-    distributed round is (1) one hash-partitioned degree count and (2) two
-    reduce-side semi-joins (edges ⋈ alive on each endpoint) — all exchanges
-    hash-routed, the driver holds only the edge-count scalar, and the edge
-    set only ever SHRINKS (each round's survivors are re-pinned, so round
-    r+1 scans the peeled set, not the original).  Early exit when a round
-    removes no edge; ``max_rounds`` bounds pathological path graphs."""
+    round computes one hash-partitioned degree count, then dispatches on
+    the size of the DEAD set (deg < k — the shell being peeled, usually a
+    tiny fraction of the graph after round 1): a small shell is broadcast
+    via ``ray.put`` and edges incident to it are dropped in ONE shuffle-free
+    vectorized filter pass; a corpus-sized shell (possible in round 1 on a
+    sparse graph) falls back to two reduce-side semi-joins on the alive
+    set — all exchanges hash-routed, the driver holds only count scalars.
+    The edge set only ever SHRINKS (survivors re-pinned each round, so
+    round r+1 scans the peeled set, not the original).  Convergence = an
+    empty dead set; ``max_rounds`` bounds pathological path graphs."""
+    import ray
     import ray.data as rd
 
     from .grouped import (distinct_block, hash_partitioned_agg,
@@ -424,21 +430,46 @@ def k_core_ds(edges_ds, k: int = 4, src: str = "src_url", dst: str = "dst_url",
         )
 
     for _ in range(max_rounds):
-        alive = _degrees(und).map_batches(
+        # pinned: consumed twice below (dead filter + possibly alive side),
+        # and an unpinned Dataset re-executes its degree-agg DAG per consumer
+        degs = pin(_degrees(und), "kcore-degs")
+        dead = pin(degs.map_batches(
             lambda d: pd.DataFrame(
                 {"node": d.get("node", pd.Series([], dtype=object))}
-            )[np.asarray(d.get("deg", pd.Series([], dtype="int64"))) >= k],
+            )[np.asarray(d.get("deg", pd.Series([], dtype="int64"))) < k],
             batch_format="pandas",
-        )
-        nxt = reduce_side_semi_join(und, ["u", "v"], "u", alive, "node",
-                                    num_parts=num_parts)
-        nxt = pin(reduce_side_semi_join(nxt, ["u", "v"], "v", alive, "node",
-                                        num_parts=num_parts), "kcore-und")
-        n_next = nxt.count()
-        if n_next == n_edges:
+        ), "kcore-dead")
+        n_dead = dead.count()
+        if n_dead == 0:
             break
-        und, n_edges = nxt, n_next
-        if n_edges == 0:
+        if n_dead <= bcast_dead_threshold:
+            # shell is small: drop its incident edges in one pass
+            dead_ref = ray.put(frozenset(dead.to_pandas()["node"]))
+
+            def _drop(d: pd.DataFrame) -> pd.DataFrame:
+                if "u" not in d.columns:
+                    return pd.DataFrame({"u": pd.Series([], dtype=object),
+                                         "v": pd.Series([], dtype=object)})
+                ds_ = ray.get(dead_ref)
+                keep = ~(d["u"].isin(ds_) | d["v"].isin(ds_))
+                return d[keep][["u", "v"]]
+
+            und = pin(und.map_batches(_drop, batch_format="pandas"),
+                      "kcore-und")
+        else:
+            alive = degs.map_batches(
+                lambda d: pd.DataFrame(
+                    {"node": d.get("node", pd.Series([], dtype=object))}
+                )[np.asarray(d.get("deg", pd.Series([], dtype="int64"))) >= k],
+                batch_format="pandas",
+            )
+            alive = pin(alive, "kcore-alive")
+            nxt = reduce_side_semi_join(und, ["u", "v"], "u", alive, "node",
+                                        num_parts=num_parts)
+            und = pin(reduce_side_semi_join(nxt, ["u", "v"], "v", alive,
+                                            "node", num_parts=num_parts),
+                      "kcore-und")
+        if und.count() == 0:
             return rd.from_pandas(empty)
 
     def _out(d: pd.DataFrame) -> pd.DataFrame:

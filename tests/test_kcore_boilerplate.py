@@ -74,14 +74,17 @@ class TestKCoreDistributed:
         # distributed path forced (threshold 0), directed duplicates +
         # reversed edges in the input exercise the canonicalization
         noisy = list(pairs) + [(b, a) for a, b in pairs[:40]] + list(pairs[:25])
-        got = (
-            k_core_ds(_edges_ds(noisy), k=3, driver_threshold=0, num_parts=4)
-            .to_pandas()
-            .sort_values("url")
-            .reset_index(drop=True)
-        )
         ref = ref.sort_values("url").reset_index(drop=True)
-        pd.testing.assert_frame_equal(got, ref)
+        # both distributed branches: broadcast-dead-shell and reduce-side
+        for bcast_thr in (2_000_000, 0):
+            got = (
+                k_core_ds(_edges_ds(noisy), k=3, driver_threshold=0,
+                          num_parts=4, bcast_dead_threshold=bcast_thr)
+                .to_pandas()
+                .sort_values("url")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, ref)
 
     def test_driver_path_equals_distributed(self, ray_session):
         from knowledgegraph__bh_ray.stages.pagerank import k_core_ds
@@ -218,3 +221,46 @@ class TestShuffleShard:
         a = shuffle_shard_ds(str(tmp_path)).to_pandas().sort_values("doc_id")
         b = shuffle_shard_ds(str(tmp_path)).to_pandas().sort_values("doc_id")
         pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+class TestSampleWeighted:
+    def test_keep_rule_matches_serial_reference(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from knowledgegraph__bh_ray.pipelines.textops import sample_weighted_ds
+
+        texts = ["w " * k for k in (0, 1, 5, 32, 64, 100, 200)] + ["", "   "]
+        ids = list(range(len(texts)))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = sample_weighted_ds(str(tmp_path)).to_pandas().set_index("doc_id")
+
+        for i, t in zip(ids, texts):
+            n = len(t.strip().split()) if t.strip() else 0
+            u = int(hashlib.md5(f"w1:{i}".encode()).hexdigest()[:8], 16)
+            expect = u * 64 < min(n, 64) * (1 << 32)
+            assert (i in got.index) == expect, (i, n, u)
+            if expect:
+                assert got.loc[i, "n_tokens"] == n
+                assert got.loc[i, "w_num"] == min(n, 64)
+        # empty docs can never be kept
+        assert 7 not in got.index and 8 not in got.index
+
+    def test_cap_docs_always_kept_probabilistically(self, ray_session, tmp_path):
+        """Docs at/above the token cap have weight 1.0 → always kept."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from knowledgegraph__bh_ray.pipelines.textops import sample_weighted_ds
+
+        n = 200
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                      "text": ["tok " * 64] * n}),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = sample_weighted_ds(str(tmp_path)).to_pandas()
+        assert len(got) == n  # w_num == cap → u32*cap < cap*2^32 always
