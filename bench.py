@@ -139,6 +139,7 @@ def run_bench() -> dict:
     )
     timed("shuffle_shard", lambda: textops.shuffle_shard_ds(SF_DIR).count())
     timed("lm_perplexity", lambda: textops.lm_perplexity_ds(SF_DIR).count())
+    timed("dup_passage", lambda: textops.dup_passage_ds(SF_DIR).count())
 
     def _kcore(threshold):
         from knowledgegraph__bh_ray.stages.pagerank import k_core_ds

@@ -1018,3 +1018,104 @@ def lm_perplexity_ds(sf_dir: str, num_parts: int = 8):
         )
 
     return per_doc.map_batches(_final, batch_format="pandas")
+
+
+def dup_passage_ds(sf_dir: str, n: int = 4, num_parts: int = 8):
+    """Corpus-internal duplicate-passage signal (the "deduplicating training
+    data" n-gram statistic): for every document, what fraction of its token
+    ``n``-grams also occurs in at least one OTHER document.  Output
+    ``(doc_id, n_grams, n_dup, dup_frac_micros)``; docs with fewer than
+    ``n`` tokens have no grams and are absent.
+
+    Unlike ``decontaminate_ds`` (corpus vs a benchmark-sized eval split →
+    broadcast probe), this is corpus × corpus: no side fits a worker, so
+    the gram document-frequency table is built by one gram-hash aggregate
+    (per-batch distinct (doc, gram) pairs are globally distinct — a doc
+    lives in one batch — so partials just sum) and attached back to every
+    gram occurrence via a salted reduce-side lookup; one doc-hash aggregate
+    closes.  Three shuffles, each one row per gram occurrence or distinct
+    pair."""
+    from ..stages.grouped import hash_partitioned_agg, reduce_side_lookup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _gram_occ(batch: pd.DataFrame) -> pd.DataFrame:
+        """One row per gram occurrence: (doc_id, gram)."""
+        toks = batch["text"].str.lower().str.strip().str.split(RE_WS)
+        df = pd.DataFrame({"doc_id": batch["doc_id"], "term": toks}).explode("term")
+        df = df[df["term"].notna() & (df["term"] != "")]
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "gram": pd.Series([], dtype=object)})
+        if df.empty:
+            return empty
+        gram = df["term"].astype(str)
+        grp = df.groupby("doc_id", sort=False)["term"]
+        valid = pd.Series(True, index=df.index)
+        for j in range(1, n):
+            nxt = grp.shift(-j)
+            valid &= nxt.notna()
+            gram = gram + " " + nxt.astype(str)
+        df = df[valid]
+        if df.empty:
+            return empty
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64").values,
+                             "gram": gram[valid].values})
+
+    def _df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        occ = _gram_occ(batch).drop_duplicates(["doc_id", "gram"])
+        return pd.DataFrame({"gram": occ["gram"].values,
+                             "df": np.ones(len(occ), dtype="int64")})
+
+    def _df_sum(d: pd.DataFrame) -> pd.DataFrame:
+        if "gram" not in d.columns:
+            return pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype="int64")})
+        return d.groupby("gram", sort=False, as_index=False)["df"].sum()
+
+    dfs = hash_partitioned_agg(
+        docs.map_batches(_df_partial, batch_format="pandas"),
+        ["gram"], _df_sum, num_parts=num_parts,
+    )
+
+    occ = docs.map_batches(_gram_occ, batch_format="pandas")
+    with_df = reduce_side_lookup(
+        occ, ["doc_id", "gram"], "gram", dfs, "gram", ["df"],
+        num_parts=num_parts, salt_from="doc_id",
+    )
+
+    def _doc_partial(d: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in d.columns or not len(d):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_grams": pd.Series([], dtype="int64"),
+                                 "n_dup": pd.Series([], dtype="int64")})
+        dup = (d["df"].astype("int64") >= 2).astype("int64")
+        g = pd.DataFrame({"doc_id": d["doc_id"].astype("int64"),
+                          "n_grams": np.int64(1), "n_dup": dup.values})
+        return g.groupby("doc_id", sort=False, as_index=False).sum().astype(
+            {"n_grams": "int64", "n_dup": "int64"})
+
+    def _doc_sum(d: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in d.columns:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_grams": pd.Series([], dtype="int64"),
+                                 "n_dup": pd.Series([], dtype="int64")})
+        return d.groupby("doc_id", sort=False, as_index=False)[
+            ["n_grams", "n_dup"]
+        ].sum().astype({"n_grams": "int64", "n_dup": "int64"})
+
+    per_doc = hash_partitioned_agg(
+        with_df.map_batches(_doc_partial, batch_format="pandas"),
+        ["doc_id"], _doc_sum, num_parts=num_parts,
+    )
+
+    def _final(d: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in d.columns:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_grams": pd.Series([], dtype="int64"),
+                                 "n_dup": pd.Series([], dtype="int64"),
+                                 "dup_frac_micros": pd.Series([], dtype="int64")})
+        return d.assign(
+            dup_frac_micros=(d["n_dup"] * 1_000_000 // d["n_grams"]).astype("int64")
+        )
+
+    return per_doc.map_batches(_final, batch_format="pandas")

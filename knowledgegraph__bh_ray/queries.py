@@ -816,6 +816,13 @@ def q_lm_perplexity(sf_dir: str):
     return textops.lm_perplexity_ds(sf_dir)
 
 
+def q_dup_passage(sf_dir: str):
+    """Per-doc duplicate-passage fraction: share of a doc's token 4-grams
+    occurring in ≥2 documents (corpus × corpus — gram-df aggregate +
+    salted reduce-side attach, no broadcast)."""
+    return textops.dup_passage_ds(sf_dir)
+
+
 # Ordering contract: every query with a DuckDB mirror in build_oracle_sql()
 # comes BEFORE the no-oracle ones, so a driver that caps the number of
 # checked queries (~50 in round 2) still oracle-verifies every mirror.
@@ -843,7 +850,6 @@ QUERIES = {
     "kg_kcore": q_kg_kcore,
     "kg_ancestors": q_kg_ancestors,
     "kg_cooccurrence": q_kg_cooccurrence,
-    "dedup_exact": q_dedup_exact,
     "dedup_embedding": q_dedup_embedding,
     "text_quality": q_text_quality,
     "agg_lineitem": q_agg_lineitem,
@@ -873,7 +879,8 @@ QUERIES = {
     "shuffle_shard": q_shuffle_shard,
     "sample_weighted": q_sample_weighted,
     "lm_perplexity": q_lm_perplexity,
-    # --- SQL-mirrored but BEYOND the driver's 50-row cap (63 mirrors
+    "dup_passage": q_dup_passage,
+    # --- SQL-mirrored but BEYOND the driver's 50-row cap (64 mirrors
     # exist; r2's file stopped at exactly 50).  These are the deliberate
     # sacrifices: every one was hash-checked GREEN in round 2 on code
     # unchanged since, and each is the least-informative member of a
@@ -891,8 +898,11 @@ QUERIES = {
     # in-cap events_sessionize and shares its session machinery;
     # embed_relations rides the same md5-arithmetic encode mirror as the
     # in-cap embed_concepts — its only delta, relation-phrase assembly, is
-    # pytest-covered).  All still run in tools/check_driver.py and pytest.
+    # pytest-covered; dedup_exact's content-hash keep-first groupby is a
+    # strict subset of the in-cap curate_corpus pipeline).  All still run
+    # in tools/check_driver.py and pytest.
     "events_with_sessions": q_events_with_sessions,
+    "dedup_exact": q_dedup_exact,
     "embed_relations": q_embed_relations,
     "kg_extract_zh": q_kg_extract_zh,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1469,6 +1479,29 @@ def build_oracle_sql() -> dict[str, str]:
                    coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
                    (n_all.n_lines - coalesce(agg.n_kept, 0))::BIGINT AS n_removed
             FROM ex JOIN n_all USING (url) LEFT JOIN agg USING (url)
+        """,
+        "dup_passage": """
+            WITH arrs AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+              FROM documents WHERE trim(text) != ''
+            ),
+            grams AS MATERIALIZED (
+              SELECT doc_id,
+                     array_to_string(arr[pos:pos + 3], ' ') AS gram
+              FROM (SELECT doc_id, arr,
+                           unnest(range(1, len(arr) - 2)) AS pos
+                    FROM arrs WHERE len(arr) >= 4)
+            ),
+            df AS MATERIALIZED (
+              SELECT gram, count(DISTINCT doc_id)::BIGINT AS df
+              FROM grams GROUP BY gram
+            )
+            SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+                   ((sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1000000)
+                    // count(*))::BIGINT AS dup_frac_micros
+            FROM grams g JOIN df USING (gram)
+            GROUP BY g.doc_id
         """,
         "lm_perplexity": """
             WITH arrs AS (

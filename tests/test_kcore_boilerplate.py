@@ -310,3 +310,52 @@ class TestLmPerplexity:
             assert got.loc[i, "n_bigrams"] == len(bigs)
             assert got.loc[i, "avg_logprob_micros"] == round(avg * 1e6)
         assert 4 not in got.index and 5 not in got.index
+
+
+class TestDupPassage:
+    def test_matches_serial_gram_df(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from knowledgegraph__bh_ray.pipelines.textops import dup_passage_ds
+
+        texts = [
+            "a b c d e f",        # shares 'a b c d'..'c d e f' with doc 1
+            "a b c d e f g",
+            "x y z w",            # unique gram
+            "x y z w",            # exact duplicate of doc 2
+            "too few",            # < 4 tokens → absent
+        ]
+        ids = list(range(len(texts)))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = dup_passage_ds(str(tmp_path)).to_pandas().set_index("doc_id")
+
+        # serial reference
+        from collections import Counter
+        gsets, occ = {}, {}
+        for i, t in zip(ids, texts):
+            ts = t.lower().strip().split()
+            occ[i] = [" ".join(ts[j:j + 4]) for j in range(len(ts) - 3)]
+            gsets[i] = set(occ[i])
+        df = Counter()
+        for i in gsets:
+            for g in gsets[i]:
+                df[g] += 1
+        for i in ids:
+            if not occ[i]:
+                assert i not in got.index
+                continue
+            n_dup = sum(1 for g in occ[i] if df[g] >= 2)
+            assert got.loc[i, "n_grams"] == len(occ[i])
+            assert got.loc[i, "n_dup"] == n_dup
+            assert got.loc[i, "dup_frac_micros"] == n_dup * 1_000_000 // len(occ[i])
+        # exact duplicates have dup_frac == 1.0
+        assert got.loc[2, "dup_frac_micros"] == 1_000_000
+        assert got.loc[3, "dup_frac_micros"] == 1_000_000
+        # doc 0's grams all appear in doc 1 too
+        assert got.loc[0, "dup_frac_micros"] == 1_000_000
+        # doc 1 has one gram ('d e f g') nowhere else
+        assert got.loc[1, "n_dup"] == got.loc[1, "n_grams"] - 1
