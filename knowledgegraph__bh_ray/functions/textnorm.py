@@ -69,7 +69,12 @@ def convert_latex(text: str) -> str:
 
 def is_math_formula(text: str) -> bool:
     """Symbol-density / structural-pattern formula predicate
-    (pdf_extractor.py:168-188)."""
+    (pdf_extractor.py:168-188).
+
+    Deliberate delta: the reference divides by ``len(text)`` unguarded and
+    raises ZeroDivisionError on an empty paragraph (verified against
+    pdf_extractor.py directly); the engine returns False — an empty
+    paragraph cannot be a formula, and the pipeline must not crash."""
     if not text:
         return False
     density = len(_RE_MATH_SYMBOLS.findall(text)) / len(text)

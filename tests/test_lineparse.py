@@ -219,3 +219,67 @@ def test_prop_key_with_dash_truncates_to_word_tail():
     d = parse_doc_lines(["- C @T", "k-ey=v 描述=ok"])
     (c,) = d.concepts.values()
     assert c["props"] == {"ey": "v", "描述": "ok"}
+
+
+# --- edge-of-grammar fixtures (second round-3 session): pin the shared
+# regex spec on inputs the synthesized corpus does not exercise ---
+
+
+def test_empty_concept_name_hashes_empty_string():
+    # '- @概念': the non-greedy name group matches '' (md2csv.py:39) — the
+    # reference happily creates a concept whose id is md5('')[:8]
+    out = parse_doc_lines(["- @概念"])
+    assert set(out.concepts) == {md5_id("")}
+    assert out.concepts[md5_id("")]["name"] == ""
+    assert out.concepts[md5_id("")]["type"] == "概念"
+
+
+def test_concept_type_truncates_at_non_word_char():
+    # '@\\w+' stops at the first non-word char; the tail is ignored
+    out = parse_doc_lines(["- X @deep-learn"])
+    assert out.concepts[md5_id("X")]["type"] == "deep"
+
+
+def test_rel_type_with_equals_not_unwrapped_and_leaks():
+    # rel_type '[^\\s]+' may contain '='; only a 类型= prefix unwraps.
+    # The whole line also feeds the concept-prop leak, which sees BOTH
+    # pairs (描述=x from the rel_type token, 强度=0.9 from the tail).
+    out = parse_doc_lines(["- A @概念", "- a --> b : 描述=x 强度=0.9"])
+    (rel,) = out.relations
+    assert rel["pred"] == "描述=x"
+    assert rel["props"] == {"强度": "0.9"}
+    assert out.concepts[md5_id("A")]["props"] == {"描述": "x", "强度": "0.9"}
+
+
+def test_rel_type_unwrap_is_greedy_through_equals():
+    # 类型=a=b → unwrap regex '(.+)' grabs everything after the first '='
+    out = parse_doc_lines(["- a --> b : 类型=a=b"])
+    assert out.relations[0]["pred"] == "a=b"
+
+
+def test_relation_empty_target():
+    # '- a -->  : t' — target group is non-greedy and can be empty
+    out = parse_doc_lines(["- a -->  : t"])
+    (rel,) = out.relations
+    assert rel["obj_name"] == "" and rel["obj"] == md5_id("")
+    assert rel["subj_name"] == "a" and rel["pred"] == "t"
+
+
+def test_relations_section_header_does_not_reset_cursor():
+    # only '## 【核心概念】' resets (md2csv.py:34-36); the relations header
+    # is an ordinary line, so the cursor — and the prop leak — survive it
+    out = parse_doc_lines(["- A @概念", "## 【关联关系】", "-- B @类别", "级别=2"])
+    assert out.concepts[md5_id("B")]["parent"] == md5_id("A")
+    assert out.concepts[md5_id("A")]["props"] == {"级别": "2"}
+
+
+def test_props_line_before_any_concept_goes_nowhere():
+    out = parse_doc_lines(["级别=2", "- A @概念"])
+    assert out.concepts[md5_id("A")]["props"] == {}
+
+
+def test_section_header_line_skips_all_other_rules():
+    # the reference RETURNS on the section header (md2csv.py:34-36), so a
+    # concept-looking tail on the same line is never parsed
+    out = parse_doc_lines(["## 【核心概念】 - X @概念"])
+    assert out.concepts == {}

@@ -90,3 +90,29 @@ def test_fast_path_identity_property():
         assert normalize_paragraph(text) == full(text)
 
     check()
+
+
+def test_multiple_dollar_pairs_convert_independently():
+    # validated against pdf_extractor._convert_latex directly
+    assert convert_latex("$a$ 和 $b$") == "\\(a\\) 和 \\(b\\)"
+
+
+def test_odd_dollars_pair_greedily_left_to_right():
+    """'$5 and $' pairs FIRST (non-greedy leftmost match), so literal
+    dollar amounts produce garbled conversions — reference behavior
+    (validated against pdf_extractor._convert_latex: 'price $5 and $3$x$'
+    → 'price \\(5 and \\)3\\(x\\)'), reproduced verbatim."""
+    assert convert_latex("price $5 and $3$x$") == "price \\(5 and \\)3\\(x\\)"
+
+
+def test_empty_text_is_not_a_formula_deliberate_delta():
+    """The reference raises ZeroDivisionError on '' (unguarded density
+    division, pdf_extractor.py:171-175 — verified).  The engine's guard
+    returning False is a documented deliberate delta."""
+    assert is_math_formula("") is False
+
+
+def test_visible_bullet_glyphs_are_not_dir_markers():
+    # DIR_MARKER keys are the PUA glyphs /, NOT the visible
+    # ● / ◆ they render to — a line already containing ● stays untouched
+    assert replace_dir_markers("● A ◆ B") == "● A ◆ B"
