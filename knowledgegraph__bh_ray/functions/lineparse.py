@@ -29,6 +29,14 @@ P/R gate scores against):
   * *any* line containing ``=`` while a concept is current — including concept
     and relation lines themselves — merges its k=v pairs into the current
     concept's props (md2csv.py:95-105).
+
+Deliberate delta (verified against md2csv.py directly): the reference merges
+relation props with ``relation.update(rel_props)`` (md2csv.py:92), so a prop
+literally keyed ``type`` / ``source`` / ``target`` silently CLOBBERS the
+triple's fields — ``source`` even becomes the raw prop string instead of an
+md5 id, corrupting the row.  The engine keeps props in a separate dict and
+preserves the typed (subj, pred, obj) schema; the reference's own grammar
+uses Chinese prop keys, so its test documents never hit this path.
 """
 
 from __future__ import annotations

@@ -283,3 +283,16 @@ def test_section_header_line_skips_all_other_rules():
     # concept-looking tail on the same line is never parsed
     out = parse_doc_lines(["## 【核心概念】 - X @概念"])
     assert out.concepts == {}
+
+
+def test_poison_prop_keys_do_not_clobber_relation_fields():
+    """Deliberate delta: the reference's relation.update(rel_props)
+    (md2csv.py:92) lets props keyed 'type'/'source'/'target' overwrite the
+    triple's own fields — 'source' even becomes the raw prop string, not an
+    id (verified against the reference parser).  The engine keeps props
+    separate and the typed schema intact."""
+    out = parse_doc_lines(["- a --> b : 包含 type=覆盖 source=snap"])
+    (rel,) = out.relations
+    assert rel["pred"] == "包含"
+    assert rel["subj"] == md5_id("a") and rel["obj"] == md5_id("b")
+    assert rel["props"] == {"type": "覆盖", "source": "snap"}
