@@ -71,9 +71,13 @@ def nodes_edges_to_jsonld(
                 entity[f"{RDFS}subClassOf"] = [{"@id": parent_uri}]
             else:
                 entity[f"{RDF}type"] = [{"@id": parent_uri}]
+        # the reference consumes the W3 CSV, whose prop columns are named
+        # ``<key>:LABEL`` and are ALL re-emitted as ``IRI#<column>`` props —
+        # including 描述:LABEL, which therefore appears BOTH as rdfs:comment
+        # and as a prop (verified against csv2rdf-jsonld.py:75-81 directly)
         for k, v in props.items():
-            if k != "描述" and v:
-                entity[f"{ontology_iri}#{k}"] = [v]
+            if v:
+                entity[f"{ontology_iri}#{k}:LABEL"] = [v]
         out.append(entity)
 
     merged = list(existing) if existing else []

@@ -119,3 +119,84 @@ def test_textnorm_differential(ref_pdfx, text):
     assert textnorm.replace_dir_markers(text) == ref_pdfx._replace_dir_markers(text)
     if text:  # the reference divides by len(text) unguarded (documented delta)
         assert textnorm.is_math_formula(text) == ref_pdfx._is_math_formula(text)
+
+
+@pytest.fixture(scope="module")
+def ref_jsonld():
+    spec = importlib.util.spec_from_file_location(
+        "_ref_jsonld", os.path.join(REF, "csv2rdf-jsonld.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _frames():
+    import pandas as pd
+
+    from knowledgegraph__bh_ray.functions.hashing import md5_id
+
+    nodes = pd.DataFrame(
+        {
+            "id": [md5_id("机器学习"), md5_id("监督学习"), md5_id("张三")],
+            "name": ["机器学习", "监督学习", "张三"],
+            "type": ["概念", "类别", "人物"],
+            "parent": ["", md5_id("机器学习"), md5_id("监督学习")],
+            "props_json": ['{"描述": "ML desc"}', '{"强度": "0.9"}', "{}"],
+        }
+    )
+    edges = pd.DataFrame(
+        {
+            "subj": [md5_id("机器学习")],
+            "pred": ["包 含"],
+            "obj": [md5_id("监督学习")],
+            "subj_name": ["机器学习"],
+            "obj_name": ["监督学习"],
+            "props_json": ["{}"],
+        }
+    )
+    return nodes, edges
+
+
+def test_jsonld_differential_vs_reference(ref_jsonld, tmp_path):
+    """Engine JSON-LD ≡ the reference's csv2rdf-jsonld output, fed the
+    engine's own W3 concepts CSV.  The relations CSV uses a lowercase
+    ``type`` column — the only layout the reference's relations() reads
+    (see test_reference_relations_csv_contract_bug)."""
+    import csv as _csv
+    import json as _json
+
+    from knowledgegraph__bh_ray.exporters.neo4j_csv import nodes_to_neo4j_csv
+    from knowledgegraph__bh_ray.exporters.rdf import nodes_edges_to_jsonld
+
+    nodes, edges = _frames()
+    (tmp_path / "concepts.csv").write_text(nodes_to_neo4j_csv(nodes), encoding="utf-8")
+    with open(tmp_path / "relations.csv", "w", newline="", encoding="utf-8") as f:
+        w = _csv.DictWriter(f, fieldnames=[":START_ID", ":END_ID", "type"])
+        w.writeheader()
+        for _, r in edges.iterrows():
+            w.writerow({":START_ID": r["subj"], ":END_ID": r["obj"], "type": r["pred"]})
+
+    out = tmp_path / "out.jsonld"
+    ref_jsonld.main(str(tmp_path / "concepts.csv"), str(tmp_path / "relations.csv"), str(out))
+    ref = _json.loads(out.read_text(encoding="utf-8"))
+
+    got = nodes_edges_to_jsonld(nodes, edges)
+    assert got == ref
+
+
+def test_reference_relations_csv_contract_bug(ref_jsonld, tmp_path):
+    """Verified reference-internal bug: md2csv.export_csv writes the
+    relation type column as ':TYPE' (md2csv.py:142), but
+    csv2rdf-jsonld.relations() reads row['type'] (csv2rdf-jsonld.py:95) —
+    feeding the reference its own relations.csv raises KeyError.  The
+    engine's emitter implements the evident intent (fold relations by
+    type), which this pins."""
+    import csv as _csv
+
+    with open(tmp_path / "relations.csv", "w", newline="", encoding="utf-8") as f:
+        w = _csv.DictWriter(f, fieldnames=[":START_ID", ":END_ID", ":TYPE"])
+        w.writeheader()
+        w.writerow({":START_ID": "a", ":END_ID": "b", ":TYPE": "含"})
+    with pytest.raises(KeyError):
+        ref_jsonld.relations(str(tmp_path / "relations.csv"), {"a": "u", "b": "v"})
