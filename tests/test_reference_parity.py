@@ -200,3 +200,57 @@ def test_reference_relations_csv_contract_bug(ref_jsonld, tmp_path):
         w.writerow({":START_ID": "a", ":END_ID": "b", ":TYPE": "含"})
     with pytest.raises(KeyError):
         ref_jsonld.relations(str(tmp_path / "relations.csv"), {"a": "u", "b": "v"})
+
+
+@pytest.fixture(scope="module")
+def ref_rag():
+    added = []
+    if "sentence_transformers" not in sys.modules:
+        stub = types.ModuleType("sentence_transformers")
+        stub.SentenceTransformer = lambda *a, **k: None
+        sys.modules["sentence_transformers"] = stub
+        added.append("sentence_transformers")
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_ref_rag", os.path.join(REF, "rag_query.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        yield mod
+    finally:
+        for name in added:
+            sys.modules.pop(name, None)
+
+
+def test_rag_topk_differential_vs_reference(ref_rag, ray_session):
+    """Engine brute-force cosine top-k ≡ the reference's _search_similar on
+    a tie-free corpus (same query vector).  Tie-break is a documented
+    delta: the reference orders equal similarities by input index (stable
+    argsort reversed), the engine by (similarity DESC, text ASC) — a
+    distributed partial top-k cannot see input order."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from knowledgegraph__bh_ray.stages.embed import fake_encode, rag_topk
+
+    cls = next(
+        v for v in vars(ref_rag).values()
+        if isinstance(v, type) and hasattr(v, "_search_similar")
+    )
+
+    names = [f"概念{i}" for i in range(40)]
+    embs = [fake_encode([n])[0].astype(np.float64) for n in names]
+    df = pd.DataFrame({"name": names, "embedding": embs})
+
+    q = fake_encode(["实体1"])[0].astype(np.float64)
+    ref_hits = cls._search_similar(None, q, df, top_k=5)
+    ref_pairs = [(h["text"], float(h["similarity"])) for h in ref_hits]
+
+    ds = rd.from_pandas(pd.DataFrame({"name": names, "embedding": embs}))
+    got = rag_topk(ds, "实体1", "name", k=5)
+    got_pairs = list(zip(got["name"], got["similarity"].astype(float)))
+
+    assert [t for t, _ in got_pairs] == [t for t, _ in ref_pairs]
+    for (_, a), (_, b) in zip(got_pairs, ref_pairs):
+        assert abs(a - b) < 1e-12
