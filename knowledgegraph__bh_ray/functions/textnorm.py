@@ -63,6 +63,29 @@ def scrub_images(text: str) -> str:
     return _RE_IMAGES.sub(_rep, text)
 
 
+# md_formatter.py:18-23 — the standalone MD post-processor's formula
+# patterns, combined in the reference's own order (block $$ before inline $,
+# so '$$x$$' is one block match, not two inline hits) under DOTALL
+_RE_MD_FORMULAS = re.compile(
+    r"(\$\$.*?\$\$)|(\$.*?\$)|(\\begin\{equation\}.*?\\end\{equation\})|(\\\[.*?\\\])",
+    re.DOTALL,
+)
+
+
+def scrub_formulas_md(text: str) -> str:
+    """The md_formatter formula pass: block/inline TeX markup → ``[公式]``
+    (block form gets surrounding newlines) — the markdown post-processing
+    sibling of :func:`scrub_images` (md_formatter.py:18-23, 92-110).  Note
+    this is a DIFFERENT rule set from the pdf-extract pipeline's
+    ``convert_latex`` + density detector; both are reference ops."""
+
+    def _rep(m: re.Match) -> str:
+        return (f"\n{FORMULA_PLACEHOLDER}\n" if m.group().count("\n") > 1
+                else FORMULA_PLACEHOLDER)
+
+    return _RE_MD_FORMULAS.sub(_rep, text)
+
+
 def convert_latex(text: str) -> str:
     return _RE_LATEX_INLINE.sub(r"\\(\1\\)", text)
 

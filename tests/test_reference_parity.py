@@ -254,3 +254,36 @@ def test_rag_topk_differential_vs_reference(ref_rag, ray_session):
     assert [t for t, _ in got_pairs] == [t for t, _ in ref_pairs]
     for (_, a), (_, b) in zip(got_pairs, ref_pairs):
         assert abs(a - b) < 1e-12
+
+
+@pytest.fixture(scope="module")
+def ref_mdf():
+    spec = importlib.util.spec_from_file_location(
+        "_ref_mdf", os.path.join(REF, "md_formatter.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_MD_TEXT = st.text(
+    alphabet="![]()<img src=\"ab.png\">\\begin{figure}end$x字\n ",
+    min_size=0, max_size=80,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_MD_TEXT)
+def test_md_formatter_differential(ref_mdf, text):
+    """Engine image/formula scrubbing ≡ md_formatter._replace_patterns with
+    the reference's own pattern lists, including the combined-alternation
+    order ($$ before $) and the blank-line block rule."""
+    from knowledgegraph__bh_ray.functions.textnorm import (scrub_formulas_md,
+                                                           scrub_images)
+
+    assert scrub_images(text) == ref_mdf._replace_patterns(
+        text, ref_mdf.DEFAULT_IMAGE_PATTERNS, "[图片]"
+    )
+    assert scrub_formulas_md(text) == ref_mdf._replace_patterns(
+        text, ref_mdf.DEFAULT_FORMULA_PATTERNS, "[公式]"
+    )
