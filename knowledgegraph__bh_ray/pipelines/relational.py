@@ -472,6 +472,58 @@ def events_asof_join_ds(
     )
 
 
+def events_running_total_ds(sf_dir: str):
+    """Per-key ORDERED window aggregate (SQL ``SUM(v) OVER (PARTITION BY
+    user ORDER BY ts)``): every event gets the running sum of its user's
+    value cents and its 1-indexed position in the user's timeline — the
+    cumulative-feature shape (lifetime spend so far, click number N) that
+    training-data featurization needs and Ray Data has no native window
+    operator for.
+
+    Same partitioning contract as sessionize/as-of: ONE user-hash shuffle
+    co-locates each user's events, then a single mergesort + grouped
+    cumsum/cumcount per partition (all C kernels, no per-user Python).
+    No global sort anywhere; skew bound = the hottest user's event count.
+    Cents are ``floor(value·100)`` so the DuckDB mirror hashes exactly."""
+    from ..stages.grouped import PART_COL, _key_hash
+
+    num_parts = 16
+
+    def _route(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64"),
+                "user_id": batch["user_id"].astype("int64"),
+                "ts_us": batch["ts"].astype("datetime64[us]").astype("int64"),
+                "value_cents": np.floor(batch["value"].to_numpy() * 100).astype("int64"),
+            }
+        )
+        out[PART_COL] = (_key_hash(out, ["user_id"]) % num_parts).astype("int64")
+        return out
+
+    def _running(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        gb = g.groupby("user_id", sort=False)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "ts_us": g["ts_us"].to_numpy(),
+                "value_cents": g["value_cents"].to_numpy(),
+                "running_cents": gb["value_cents"].cumsum().to_numpy().astype("int64"),
+                "seq": (gb.cumcount().to_numpy() + 1).astype("int64"),
+            }
+        )
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    return (
+        ev.map_batches(_route, batch_format="pandas")
+        .repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_running, batch_format="pandas")
+    )
+
+
 def events_sessionize_ds(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization per user (session = events ≤ gap apart).
 

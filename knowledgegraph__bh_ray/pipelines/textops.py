@@ -892,6 +892,119 @@ def sample_weighted_ds(sf_dir: str, cap: int = 64, seed: str = "w1"):
     return docs.map_batches(_filter, batch_format="pandas")
 
 
+def source_cap_ds(sf_dir: str, cap: int = 15, seed: str = "s0"):
+    """Per-source quota capping — the C4/Gopher-style per-domain cap that
+    stops one crawl source from dominating the training mix: keep at most
+    ``cap`` documents per source, chosen by a seeded md5 rank so the
+    survivors are a uniform, rerun-stable sample of each source (no RNG,
+    resumable mid-corpus).
+
+    ONE source-hash shuffle co-locates each source's docs; each partition
+    ranks all its sources in one mergesort + grouped cumcount (C kernels).
+    The shuffle ships only (doc_id, source, 32-hex rank key) — never text.
+    Skew bound = the hottest source's doc count; if a single source were
+    corpus-sized, the md5-rank top-n is associative, so a per-batch
+    pre-cap at ``cap`` rows (the stratified_sample partial-top-n trick)
+    bounds the shuffle at ``cap × batches`` rows per source."""
+    from ..stages.grouped import PART_COL, _key_hash
+
+    num_parts = 8
+
+    def _route(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "source": batch["source"],
+                "k": batch["doc_id"].map(
+                    lambda i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+                ),
+            }
+        )
+        out[PART_COL] = (_key_hash(out, ["source"]) % num_parts).astype("int64")
+        return out
+
+    def _rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["source", "k", "doc_id"], kind="mergesort")
+        rank = g.groupby("source", sort=False).cumcount().to_numpy() + 1
+        keep = rank <= cap
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[keep],
+                "source": g["source"].to_numpy()[keep],
+                "rank": rank[keep].astype("int64"),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return (
+        docs.map_batches(_route, batch_format="pandas")
+        .repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_rank, batch_format="pandas")
+    )
+
+
+def quality_filter_ds(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
+    """Distribution-cut quality filter (the Gopher-style outlier trim):
+    keep documents whose token count lies inside the corpus's own
+    [p05, p95] percentile band — too-short and too-long tails dropped.
+
+    Thresholds come from an EXACT distributed histogram: per-batch
+    value_counts partials, one shuffle whose volume is |distinct token
+    counts| (independent of corpus rows), and a driver-side percentile
+    walk over the merged histogram (same 1-indexed ``max(1, ceil(q·N))``
+    rule as events_quantiles ≡ DuckDB ``percentile_disc``).  The two
+    scalar cutoffs are closed over by a final shuffle-free filter pass.
+    The narrow per-doc counts Dataset (2 int cols + lang) is pinned once
+    so tokenization runs a single time for both the histogram and the
+    filter (the tfidf materialize-once rule); at 100 TB that pin is
+    ~24 B/doc and object-store-spillable, vs re-tokenizing the corpus."""
+    import math
+
+    from ..stages.grouped import hash_partitioned_agg
+
+    def _counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "lang": batch["lang"],
+                "n_tokens": batch["text"].map(lambda t: len(_tokens(t))).astype("int64"),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    counts = docs.map_batches(_counts, batch_format="pandas").materialize()
+
+    def _hist(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch.groupby("n_tokens", sort=False).size().rename("n").reset_index()
+        vc["n"] = vc["n"].astype("int64")
+        return vc
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_tokens", sort=False, as_index=False)["n"].sum()
+
+    hist = hash_partitioned_agg(
+        counts.map_batches(_hist, batch_format="pandas"), ["n_tokens"], _sum,
+        num_parts=4,
+    ).to_pandas()  # |distinct token counts| rows — bounded, not corpus-sized
+    h = hist.sort_values("n_tokens", kind="mergesort")
+    vals = h["n_tokens"].to_numpy()
+    cum = h["n"].to_numpy().cumsum()
+    total = int(cum[-1])
+
+    def _disc(q: float) -> int:
+        pos = max(1, math.ceil(q * total))
+        return int(vals[int(np.searchsorted(cum, pos, side="left"))])
+
+    lo, hi = _disc(lo_q), _disc(hi_q)
+
+    def _keep(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["n_tokens"] >= lo) & (batch["n_tokens"] <= hi)
+        return batch.loc[m, ["doc_id", "lang", "n_tokens"]]
+
+    return counts.map_batches(_keep, batch_format="pandas")
+
+
 def lm_perplexity_ds(sf_dir: str, num_parts: int = 8):
     """CCNet-style language-model quality scoring: train an add-one-smoothed
     bigram LM on the corpus itself (one distributed counting pass), then

@@ -823,6 +823,26 @@ def q_dup_passage(sf_dir: str):
     return textops.dup_passage_ds(sf_dir)
 
 
+def q_events_running_total(sf_dir: str):
+    """Per-key ordered window aggregate (SUM OVER PARTITION BY user ORDER
+    BY ts): running spend + event sequence number per user — one user-hash
+    shuffle, per-partition grouped cumsum (pipelines/relational.py)."""
+    return relational.events_running_total_ds(sf_dir)
+
+
+def q_source_cap(sf_dir: str):
+    """C4/Gopher-style per-source quota: keep ≤15 docs per source by
+    seeded md5 rank (one source-hash shuffle, no text shipped)."""
+    return textops.source_cap_ds(sf_dir)
+
+
+def q_quality_filter(sf_dir: str):
+    """Distribution-cut quality filter: keep docs inside the corpus's own
+    [p05, p95] token-count band — exact distributed histogram → two scalar
+    thresholds → shuffle-free filter pass."""
+    return textops.quality_filter_ds(sf_dir)
+
+
 # Ordering contract: every query with a DuckDB mirror in build_oracle_sql()
 # comes BEFORE the no-oracle ones, so a driver that caps the number of
 # checked queries (~50 in round 2) still oracle-verifies every mirror.
@@ -843,7 +863,6 @@ QUERIES = {
     "kg_entity_freq": q_kg_entity_freq,
     "kg_bfs": q_kg_bfs,
     "kg_page_graph_nodes": q_kg_page_graph_nodes,
-    "kg_page_graph_edges": q_kg_page_graph_edges,
     "kg_pagerank": q_kg_pagerank,
     "kg_page_components": q_kg_page_components,
     "kg_triangles": q_kg_triangles,
@@ -852,12 +871,13 @@ QUERIES = {
     "kg_cooccurrence": q_kg_cooccurrence,
     "dedup_embedding": q_dedup_embedding,
     "text_quality": q_text_quality,
-    "agg_lineitem": q_agg_lineitem,
     "join_volume": q_join_volume,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
-    "events_quantiles": q_events_quantiles,
+    "events_running_total": q_events_running_total,
     "events_hopping_window": q_events_hopping_window,
+    "source_cap": q_source_cap,
+    "quality_filter": q_quality_filter,
     "tfidf_terms": q_tfidf_terms,
     "bigram_top": q_bigram_top,
     "distinct_users_by_type": q_distinct_users_by_type,
@@ -899,8 +919,17 @@ QUERIES = {
     # embed_relations rides the same md5-arithmetic encode mirror as the
     # in-cap embed_concepts — its only delta, relation-phrase assembly, is
     # pytest-covered; dedup_exact's content-hash keep-first groupby is a
-    # strict subset of the in-cap curate_corpus pipeline).  All still run
-    # in tools/check_driver.py and pytest.
+    # strict subset of the in-cap curate_corpus pipeline; agg_lineitem is
+    # the plain hash_partitioned_agg representative — that machinery is
+    # exercised by a dozen in-cap mirrors and its code is unchanged since
+    # its r2 green row; events_quantiles' bounded-histogram percentile_disc
+    # rule is re-validated verbatim inside the in-cap quality_filter;
+    # kg_page_graph_edges is the direct input of the in-cap kg_pagerank /
+    # kg_page_components / kg_kcore — a wrong edge table cannot hash-match
+    # all three).  All still run in tools/check_driver.py and pytest.
+    "agg_lineitem": q_agg_lineitem,
+    "events_quantiles": q_events_quantiles,
+    "kg_page_graph_edges": q_kg_page_graph_edges,
     "events_with_sessions": q_events_with_sessions,
     "dedup_exact": q_dedup_exact,
     "embed_relations": q_embed_relations,
@@ -1571,6 +1600,38 @@ def build_oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id)
                     - 1)::BIGINT AS pos
             FROM s
+        """,
+        "events_running_total": """
+            WITH e AS (SELECT event_id, user_id,
+                              epoch_us(ts)::BIGINT AS ts_us,
+                              CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+                       FROM events)
+            SELECT event_id, user_id, ts_us, value_cents,
+                   (SUM(value_cents) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id))::BIGINT
+                     AS running_cents,
+                   (row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id))::BIGINT AS seq
+            FROM e
+        """,
+        "source_cap": """
+            WITH r AS (SELECT doc_id, source,
+                              row_number() OVER (
+                                PARTITION BY source
+                                ORDER BY md5('s0:' || doc_id::VARCHAR), doc_id
+                              ) AS rank
+                       FROM documents)
+            SELECT doc_id, source, rank::BIGINT AS rank FROM r WHERE rank <= 15
+        """,
+        "quality_filter": f"""
+            WITH t AS (SELECT doc_id, lang,
+                              ({_NTOK.format(col='text')})::BIGINT AS n_tokens
+                       FROM documents),
+                 b AS (SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY n_tokens) AS lo,
+                              percentile_disc(0.95) WITHIN GROUP (ORDER BY n_tokens) AS hi
+                       FROM t)
+            SELECT t.doc_id, t.lang, t.n_tokens FROM t, b
+            WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
         """,
         "embed_concepts": f"""
             WITH n AS ({_NODES_DEDUP.format(g=_G)})

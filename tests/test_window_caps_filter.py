@@ -1,0 +1,165 @@
+"""Round-3 continuation operators: per-key ordered window aggregate
+(events_running_total), per-source quota capping (source_cap), and
+distribution-cut quality filtering (quality_filter) — each checked against
+an independent serial pandas/numpy reference on synthetic inputs, plus the
+determinism / boundary properties the SQL mirrors rely on."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, n=300, users=7, seed=3):
+    rng = np.random.default_rng(seed)
+    ts_base = np.int64(1_700_000_000_000_000)
+    # duplicate timestamps on purpose: the (ts, event_id) tiebreak must bite
+    ts = ts_base + rng.integers(0, 50, n).astype("int64") * 60_000_000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": rng.integers(0, users, n).astype("int64"),
+            "value": np.round(rng.uniform(0, 50, n), 2),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+    return df
+
+
+class TestRunningTotal:
+    def test_matches_serial_window(self, ray_session, tmp_path):
+        from knowledgegraph__bh_ray.pipelines.relational import events_running_total_ds
+
+        df = _write_events(tmp_path)
+        got = (
+            events_running_total_ds(str(tmp_path))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+
+        ref = df.copy()
+        ref["ts_us"] = ref["ts"].astype("datetime64[us]").astype("int64")
+        ref["value_cents"] = np.floor(ref["value"] * 100).astype("int64")
+        ref = ref.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        g = ref.groupby("user_id", sort=False)
+        ref["running_cents"] = g["value_cents"].cumsum().astype("int64")
+        ref["seq"] = (g.cumcount() + 1).astype("int64")
+        ref = ref.sort_values("event_id").reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(
+            got[["event_id", "user_id", "ts_us", "value_cents", "running_cents", "seq"]],
+            ref[["event_id", "user_id", "ts_us", "value_cents", "running_cents", "seq"]],
+        )
+        # each user's final running total is their full sum; seq is dense 1..n
+        for uid, grp in got.groupby("user_id"):
+            s = grp.sort_values("seq")
+            assert list(s["seq"]) == list(range(1, len(s) + 1))
+            assert s["running_cents"].iloc[-1] == s["value_cents"].sum()
+
+    def test_every_event_exactly_once(self, ray_session, tmp_path):
+        from knowledgegraph__bh_ray.pipelines.relational import events_running_total_ds
+
+        df = _write_events(tmp_path, n=97, users=3, seed=9)
+        got = events_running_total_ds(str(tmp_path)).to_pandas()
+        assert sorted(got["event_id"]) == sorted(df["event_id"])
+
+
+class TestSourceCap:
+    def _write_docs(self, tmp_path, sizes):
+        rows = []
+        i = 0
+        for src, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        df = pd.DataFrame(rows, columns=["doc_id", "source"])
+        pq.write_table(
+            pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                      "source": df["source"].tolist(),
+                      "text": ["t"] * len(df)}),
+            str(tmp_path / "documents.parquet"),
+        )
+        return df
+
+    def test_matches_serial_md5_rank(self, ray_session, tmp_path):
+        from knowledgegraph__bh_ray.pipelines.textops import source_cap_ds
+
+        df = self._write_docs(tmp_path, {"a": 40, "b": 15, "c": 3, "d": 1})
+        got = (
+            source_cap_ds(str(tmp_path), cap=15)
+            .to_pandas()
+            .sort_values(["source", "rank"])
+            .reset_index(drop=True)
+        )
+
+        ref = df.copy()
+        ref["k"] = ref["doc_id"].map(
+            lambda i: hashlib.md5(f"s0:{i}".encode()).hexdigest()
+        )
+        ref = ref.sort_values(["source", "k", "doc_id"], kind="mergesort")
+        ref["rank"] = (ref.groupby("source", sort=False).cumcount() + 1).astype("int64")
+        ref = ref[ref["rank"] <= 15].sort_values(["source", "rank"]).reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "source", "rank"]], ref[["doc_id", "source", "rank"]]
+        )
+        # quota respected; undersized sources keep everything
+        n_kept = got.groupby("source").size()
+        assert n_kept["a"] == 15 and n_kept["b"] == 15
+        assert n_kept["c"] == 3 and n_kept["d"] == 1
+
+    def test_deterministic_across_runs(self, ray_session, tmp_path):
+        from knowledgegraph__bh_ray.pipelines.textops import source_cap_ds
+
+        self._write_docs(tmp_path, {"x": 30, "y": 30})
+        a = source_cap_ds(str(tmp_path), cap=7).to_pandas().sort_values("doc_id")
+        b = source_cap_ds(str(tmp_path), cap=7).to_pandas().sort_values("doc_id")
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+class TestQualityFilter:
+    def _write_docs(self, tmp_path, token_counts, langs=None):
+        texts = ["w " * k if k else "" for k in token_counts]
+        langs = langs or ["en"] * len(texts)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "lang": langs, "text": texts}),
+            str(tmp_path / "documents.parquet"),
+        )
+
+    def test_matches_serial_percentile_band(self, ray_session, tmp_path):
+        from knowledgegraph__bh_ray.pipelines.textops import quality_filter_ds
+
+        rng = np.random.default_rng(11)
+        counts = rng.integers(0, 200, 150).tolist()
+        self._write_docs(tmp_path, counts)
+        got = quality_filter_ds(str(tmp_path)).to_pandas().sort_values("doc_id")
+
+        # serial reference: percentile_disc = value at 1-indexed
+        # pos max(1, ceil(q*N)) of the ascending values
+        n_tok = np.array(
+            [len(t.split()) if t.strip() else 0 for t in ["w " * k if k else "" for k in counts]]
+        )
+        asc = np.sort(n_tok)
+
+        def disc(q):
+            return int(asc[max(1, math.ceil(q * len(asc))) - 1])
+
+        lo, hi = disc(0.05), disc(0.95)
+        keep = [i for i, n in enumerate(n_tok) if lo <= n <= hi]
+        assert sorted(got["doc_id"]) == keep
+        assert got["n_tokens"].min() >= lo and got["n_tokens"].max() <= hi
+        # band is a proper subset (tails exist in this synthetic spread)
+        assert 0 < len(got) < len(counts)
+
+    def test_degenerate_uniform_corpus_keeps_all(self, ray_session, tmp_path):
+        from knowledgegraph__bh_ray.pipelines.textops import quality_filter_ds
+
+        self._write_docs(tmp_path, [10] * 40)
+        got = quality_filter_ds(str(tmp_path)).to_pandas()
+        assert len(got) == 40  # p05 == p95 == the single value → keep all
