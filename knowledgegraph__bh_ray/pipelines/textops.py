@@ -31,6 +31,11 @@ from ..sources import read_table
 RE_WS = re.compile(r"\s+")
 RE_CJK = re.compile(r"[一-鿿]")
 RE_PUNCT = re.compile(r"[.,!?;:]")
+# BPE-ish pre-tokenizer (GPT-2-style contractions / letter runs / digit runs
+# / symbol runs / whitespace), restricted to lookahead-free ASCII classes so
+# Python re and DuckDB RE2 count identically (differential-tested both ways;
+# CJK runs deliberately fall into the symbol class)
+RE_BPE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+")
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
@@ -87,8 +92,10 @@ def lang_id_batch(batch: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFra
 
 
 def text_quality_ds(sf_dir: str):
-    """documents → per-doc quality counters (n_chars, n_tokens, n_punct,
-    n_stopwords) — all integers so the SQL mirror hashes exactly."""
+    """documents → per-doc quality counters (n_chars, n_tokens,
+    n_bpe_tokens, n_punct, n_stopwords) — whitespace AND BPE-ish-regex
+    token counts per the task brief; all integers so the SQL mirror hashes
+    exactly."""
 
     def _batch(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].map(_tokens)
@@ -98,6 +105,7 @@ def text_quality_ds(sf_dir: str):
                 "n_chars": batch["text"].str.len().astype("int64"),
                 "est_tokens": (batch["text"].str.len() // 2).astype("int64"),  # M17 len//2 heuristic (read_v2.py:39-40)
                 "n_tokens": toks.map(len).astype("int64"),
+                "n_bpe_tokens": batch["text"].map(lambda t: len(RE_BPE.findall(t))).astype("int64"),
                 "n_punct": batch["text"].map(lambda t: len(RE_PUNCT.findall(t))).astype("int64"),
                 "n_stopwords": toks.map(
                     lambda ts: sum(1 for t in ts if t.lower() in STOPWORDS)

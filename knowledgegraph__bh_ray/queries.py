@@ -823,6 +823,15 @@ def q_dup_passage(sf_dir: str):
     return textops.dup_passage_ds(sf_dir)
 
 
+def q_dedup_semantic(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means-clustered embedding corpus,
+    greedy within-cluster cosine dedup — per-row keep/dup_of verdicts.
+    Non-SQL (k-means); truth check = independent serial reference in
+    tests/test_dedup.py."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup.semantic_dedup_ds(emb, "vec_id", "embedding", threshold=0.3)
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered window aggregate (SUM OVER PARTITION BY user ORDER
     BY ts): running spend + event sequence number per user — one user-hash
@@ -945,6 +954,7 @@ QUERIES = {
     "top_parts": q_top_parts,
     "kg_stats": q_kg_stats,
     # --- no_oracle, never driver-checked before round 3 ---
+    "dedup_semantic": q_dedup_semantic,
     "simsearch_lsh": q_simsearch_lsh,
     "simsearch_ivf": q_simsearch_ivf,
     "distinct_users_hll": q_distinct_users_hll,
@@ -1235,6 +1245,9 @@ def build_oracle_sql() -> dict[str, str]:
                    length(text)::BIGINT AS n_chars,
                    (length(text) // 2)::BIGINT AS est_tokens,
                    ({_NTOK.format(col='text')})::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))::BIGINT
+                     AS n_bpe_tokens,
                    len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
                    CASE WHEN trim(text) = '' THEN 0 ELSE
                      len(list_filter({_TOKENS.format(col='lower(text)')},

@@ -432,3 +432,95 @@ def embedding_pairs_lsh_ds(ds, id_col: str, vec_col: str, threshold: float):
     pairs = embedding_pairs_ds(bucketed, ["table_id", "bucket"], id_col, vec_col, threshold)
     return hash_partitioned_agg(pairs, ["id_a", "id_b"], distinct_block(["id_a", "id_b"]),
                                 num_parts=8)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — clustering-based semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_ds(ds, id_col: str, vec_col: str, threshold: float = 0.3,
+                      n_centroids: int = 16):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): spherical k-means
+    clusters the embedding corpus, then near-duplicates are detected WITHIN
+    each cluster only — candidate cost falls from |corpus|² to
+    Σ cluster_size², the published trick that makes embedding dedup viable
+    at web scale.
+
+    Ray shape: centroids come from the IVF coarse quantizer (deterministic
+    hash-ranked sample, driver-trained, vocabulary-sized) and are broadcast
+    ONCE via ``ray.put``; assignment is one matmul per batch; the verify
+    stage groups by cluster id and runs one pairwise matmul + a greedy
+    leader pass per cluster.  The greedy pass is sequential over cluster
+    MEMBERS by definition (each verdict depends on the kept-set so far) but
+    every step is a vectorized slice of the precomputed similarity matrix;
+    cluster size is bounded by ~|corpus|/n_centroids — at scale raise
+    ``n_centroids`` ∝ √|corpus| so per-cluster work stays flat.
+
+    Output, one row per vector: (id, cluster_id, keep, dup_of) where
+    ``keep`` marks the cluster representatives (lowest-id-first greedy
+    leaders) and ``dup_of`` names the kept member a dropped row duplicates
+    (-1 for survivors).  Deterministic: seeded k-means + id-ordered greedy.
+    """
+    import ray
+
+    from .grouped import coalesced_groupby
+    from .simsearch import _normalize, train_centroids
+
+    C = train_centroids(ds, id_col, vec_col, n_centroids)
+    cref = ray.put(C)
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(cref)
+        M = _normalize(np.vstack(batch[vec_col].to_numpy()).astype(np.float64))
+        out = pd.DataFrame(
+            {
+                id_col: batch[id_col].astype("int64"),
+                "cluster_id": (M @ Cm.T).argmax(axis=1).astype("int64"),
+            }
+        )
+        out["vec"] = list(M)  # normalized rows ride to the verify stage
+        return out
+
+    def _greedy(group: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for cid, g in group.groupby("cluster_id", sort=False):
+            g = g.sort_values(id_col, kind="mergesort")
+            ids = g[id_col].to_numpy()
+            M = np.vstack(g["vec"].to_numpy())
+            S = M @ M.T
+            n = len(ids)
+            kept = np.zeros(n, dtype=bool)
+            dup_of = np.full(n, -1, dtype="int64")
+            for i in range(n):
+                prior = np.flatnonzero(kept[:i])
+                if len(prior):
+                    sims = S[i, prior]
+                    j = int(sims.argmax())
+                    if sims[j] >= threshold:
+                        dup_of[i] = ids[prior[j]]
+                        continue
+                kept[i] = True
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "cluster_id": np.int64(cid),
+                        "keep": kept,
+                        "dup_of": dup_of,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "cluster_id": pd.Series([], dtype="int64"),
+                "keep": pd.Series([], dtype="bool"),
+                "dup_of": pd.Series([], dtype="int64"),
+            }
+        )
+
+    assigned = ds.map_batches(_assign, batch_format="pandas")
+    return coalesced_groupby(assigned, "cluster_id").map_groups(
+        _greedy, batch_format="pandas"
+    )

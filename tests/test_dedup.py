@@ -309,3 +309,89 @@ def test_inverted_index_postings(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got4.equals(got)
+
+
+def _serial_semdedup(ids, vecs, threshold, n_centroids):
+    """Independent scalar-loop reference for semantic_dedup_ds: same
+    deterministic spec (md5-ranked sample, spherical k-means w/ seeded
+    init + empty-cluster carry, id-ordered greedy leader), implemented
+    with plain Python loops instead of the engine's batched kernels."""
+    import hashlib
+
+    def norm(v):
+        n = np.linalg.norm(v)
+        return v / max(n, 1e-12)
+
+    order = sorted(range(len(ids)), key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest())
+    sample = [norm(vecs[i].astype(np.float64)) for i in order[: n_centroids * 8]]
+    C = [sample[i].copy() for i in range(min(n_centroids, len(sample)))]
+    for _ in range(5):
+        assign = [max(range(len(C)), key=lambda c: float(v @ C[c])) for v in sample]
+        for c in range(len(C)):
+            members = [sample[i] for i in range(len(sample)) if assign[i] == c]
+            if members:
+                C[c] = norm(np.mean(members, axis=0))
+
+    out = {}
+    clusters: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        v = norm(vecs[i].astype(np.float64))
+        cid = max(range(len(C)), key=lambda c: float(v @ C[c]))
+        clusters.setdefault(cid, []).append(i)
+    for cid, members in clusters.items():
+        members = sorted(members, key=lambda i: ids[i])
+        kept: list[int] = []
+        for i in members:
+            v = norm(vecs[i].astype(np.float64))
+            best, best_sim = -1, -2.0
+            for k in kept:
+                s = float(v @ norm(vecs[k].astype(np.float64)))
+                if s > best_sim:
+                    best, best_sim = k, s
+            if kept and best_sim >= threshold:
+                out[ids[i]] = (cid, False, ids[best])
+            else:
+                kept.append(i)
+                out[ids[i]] = (cid, True, -1)
+    return out
+
+
+def test_semantic_dedup_matches_serial_reference(ray_session):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((12, 16))
+    # planted near-dups: tiny perturbations of base rows
+    vecs = np.vstack([base, base[:5] + rng.standard_normal((5, 16)) * 0.01])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(vecs.astype(np.float32))}))
+
+    got = (
+        dedup.semantic_dedup_ds(ds, "vec_id", "embedding", threshold=0.9, n_centroids=4)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ref = _serial_semdedup(ids.tolist(), [v for v in vecs.astype(np.float32)], 0.9, 4)
+
+    assert len(got) == len(vecs)
+    for _, r in got.iterrows():
+        cid, keep, dup_of = ref[int(r["vec_id"])]
+        assert (int(r["cluster_id"]), bool(r["keep"]), int(r["dup_of"])) == (cid, keep, dup_of), r
+
+    # the planted perturbed copies must be dropped against their originals
+    dropped = got[~got["keep"]]
+    assert len(dropped) >= 5
+    for i in range(12, 17):
+        row = got[got["vec_id"] == i].iloc[0]
+        assert not row["keep"] and row["dup_of"] == i - 12
+
+
+def test_semantic_dedup_deterministic(ray_session):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64), "embedding": list(vecs)})
+    a = dedup.semantic_dedup_ds(rd.from_pandas(df), "vec_id", "embedding").to_pandas()
+    b = dedup.semantic_dedup_ds(rd.from_pandas(df), "vec_id", "embedding").to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("vec_id").reset_index(drop=True),
+        b.sort_values("vec_id").reset_index(drop=True),
+    )

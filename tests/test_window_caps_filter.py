@@ -163,3 +163,34 @@ class TestQualityFilter:
         self._write_docs(tmp_path, [10] * 40)
         got = quality_filter_ds(str(tmp_path)).to_pandas()
         assert len(got) == 40  # p05 == p95 == the single value → keep all
+
+
+class TestBpeTokenCount:
+    def test_python_duckdb_count_parity(self):
+        """The BPE-ish pre-tokenizer count must agree byte-for-byte between
+        the engine (Python re) and the mirror (DuckDB RE2) — randomized
+        over the character classes the pattern distinguishes."""
+        import duckdb
+
+        from knowledgegraph__bh_ray.pipelines.textops import RE_BPE
+
+        rng = np.random.default_rng(13)
+        alphabet = list("abcXYZ019 .,!'\t\n汉字ß") + ["'s", "'re", "'ll", "  "]
+        texts = [
+            "".join(rng.choice(alphabet, size=rng.integers(0, 60)))
+            for _ in range(200)
+        ] + ["", " ", "it's we're I'll 'd", "汉字123abc", "a'b''c'sd"]
+        con = duckdb.connect()
+        for t in texts:
+            d = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [t, RE_BPE.pattern]
+            ).fetchone()[0]
+            assert len(RE_BPE.findall(t)) == d, repr(t)
+
+    def test_quality_columns(self, ray_session):
+        from knowledgegraph__bh_ray.pipelines.textops import text_quality_ds
+
+        df = text_quality_ds("/root/testdata/sf0.001").to_pandas()
+        assert {"n_tokens", "n_bpe_tokens", "n_punct", "n_stopwords"} <= set(df.columns)
+        # BPE-ish tokens are at least as fine-grained as whitespace tokens
+        assert (df["n_bpe_tokens"] >= df["n_tokens"]).all()
