@@ -140,6 +140,15 @@ def run_bench() -> dict:
     timed("shuffle_shard", lambda: textops.shuffle_shard_ds(SF_DIR).count())
     timed("lm_perplexity", lambda: textops.lm_perplexity_ds(SF_DIR).count())
     timed("dup_passage", lambda: textops.dup_passage_ds(SF_DIR).count())
+    timed("events_running_total", lambda: relational.events_running_total_ds(SF_DIR).count())
+    timed("source_cap", lambda: textops.source_cap_ds(SF_DIR).count())
+    timed("quality_filter", lambda: textops.quality_filter_ds(SF_DIR).count())
+
+    def _semdedup():
+        emb = read_table(SF_DIR, "embeddings", columns=["vec_id", "embedding"])
+        dedup.semantic_dedup_ds(emb, "vec_id", "embedding", threshold=0.3).count()
+
+    timed("dedup_semantic", _semdedup)
 
     def _kcore(threshold):
         from knowledgegraph__bh_ray.stages.pagerank import k_core_ds
