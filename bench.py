@@ -162,6 +162,13 @@ def run_bench() -> dict:
     timed("kg_kcore", lambda: _kcore(2_000_000))
     timed("kg_kcore_dist", lambda: _kcore(0))
 
+    def _nsim():
+        from knowledgegraph__bh_ray.stages.pagerank import node_similarity_ds
+
+        node_similarity_ds(kg.page_graph_edges_ds(pages)).count()
+
+    timed("kg_node_similarity", _nsim)
+
     def _simsearch():
         import numpy as np
 

@@ -383,6 +383,15 @@ def q_kg_triangles(sf_dir: str):
     return triangles_ds(kg.page_graph_edges_ds(_prep(sf_dir)))
 
 
+def q_kg_node_similarity(sf_dir: str):
+    """Common-neighbor Jaccard over the undirected page-link graph
+    (link-prediction feature): pairs sharing ≥1 neighbor, integer-micro
+    scores — wedge pair generation + reduce-side degree attach."""
+    from .stages.pagerank import node_similarity_ds
+
+    return node_similarity_ds(kg.page_graph_edges_ds(_prep(sf_dir)))
+
+
 def q_media_features(sf_dir: str):
     """Media feature extraction through the actor-pool decode slot (decoder
     is the marked deterministic stand-in — no media libs in this env).
@@ -877,7 +886,7 @@ QUERIES = {
     "kg_triangles": q_kg_triangles,
     "kg_kcore": q_kg_kcore,
     "kg_ancestors": q_kg_ancestors,
-    "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_node_similarity": q_kg_node_similarity,
     "dedup_embedding": q_dedup_embedding,
     "text_quality": q_text_quality,
     "join_volume": q_join_volume,
@@ -935,7 +944,11 @@ QUERIES = {
     # rule is re-validated verbatim inside the in-cap quality_filter;
     # kg_page_graph_edges is the direct input of the in-cap kg_pagerank /
     # kg_page_components / kg_kcore — a wrong edge table cannot hash-match
-    # all three).  All still run in tools/check_driver.py and pytest.
+    # all three; kg_cooccurrence's bucket-layout pair machinery is the
+    # exact kernel the in-cap kg_node_similarity drives, over the same
+    # mentions-era helpers).  All still run in tools/check_driver.py and
+    # pytest.
+    "kg_cooccurrence": q_kg_cooccurrence,
     "agg_lineitem": q_agg_lineitem,
     "events_quantiles": q_events_quantiles,
     "kg_page_graph_edges": q_kg_page_graph_edges,
@@ -1484,6 +1497,28 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT a.u AS u, a.v AS v, b.v AS w
             FROM und a JOIN und b ON a.v = b.u
                        JOIN und c ON c.u = a.u AND c.v = b.v
+        """,
+        "kg_node_similarity": f"""
+            WITH l AS (
+                SELECT url AS src,
+                       'https://baike.baidu.com' || split_part(href, '?', 1) AS dst
+                FROM read_parquet('{_G}/links_raw.parquet') WHERE href LIKE '/item/%'),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM l WHERE src != dst),
+            adj AS (SELECT u AS m, v AS n FROM und UNION ALL SELECT v, u FROM und),
+            deg AS (SELECT m AS node, count(*)::BIGINT AS deg FROM adj GROUP BY m),
+            pairs AS (
+                SELECT a.n AS node_a, b.n AS node_b, count(*)::BIGINT AS common
+                FROM adj a JOIN adj b ON a.m = b.m AND a.n < b.n
+                GROUP BY a.n, b.n)
+            SELECT p.node_a, p.node_b, p.common,
+                   da.deg AS deg_a, db.deg AS deg_b,
+                   ((p.common * 1000000) // (da.deg + db.deg - p.common))::BIGINT
+                     AS jaccard_micros
+            FROM pairs p
+            JOIN deg da ON p.node_a = da.node
+            JOIN deg db ON p.node_b = db.node
         """,
         "kg_page_components": f"""
             WITH RECURSIVE l AS (

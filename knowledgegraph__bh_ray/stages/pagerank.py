@@ -479,3 +479,139 @@ def k_core_ds(edges_ds, k: int = 4, src: str = "src_url", dst: str = "dst_url",
                              "core_deg": d["deg"].astype("int64")})
 
     return _degrees(und).map_batches(_out, batch_format="pandas")
+
+
+def node_similarity_ds(edges_ds, src: str = "src_url", dst: str = "dst_url",
+                       num_parts: int = 8, max_middle_degree: int | None = None):
+    """Common-neighbor Jaccard node similarity — the classic
+    link-prediction / related-item feature: every node pair (a < b) that
+    shares ≥1 neighbor, scored ``|N(a)∩N(b)| / |N(a)∪N(b)|`` as exact
+    integer micros (floor division, so the DuckDB mirror hashes bit-for-bit).
+
+    Shape: undirected-distinct edges (hash-partitioned distinct) → explode
+    to (middle, neighbor) adjacency rows → ONE middle-hash shuffle → per-
+    partition pair generation over each middle's sorted neighbor list
+    (one ``triu_indices`` per distinct list size — the dedup bucket trick,
+    no per-middle Python) → pair-count aggregation → degrees attached by
+    two reduce-side lookups (no broadcast; the degree table is node-scale).
+
+    Unlike triangle counting, the hub blowup here is SEMANTIC: a middle of
+    degree d really does witness d(d-1)/2 related pairs.  For web-scale
+    graphs pass ``max_middle_degree`` to drop super-hub middles (the
+    standard stop-hub cut: a node linked by millions contributes ~no
+    similarity signal but dominates the pair volume); the cap drops whole
+    middles BEFORE pair generation, bounding per-middle work at cap²."""
+    from .dedup import _bucket_layout, _intra_bucket_pairs
+    from .grouped import (PART_COL, _key_hash, distinct_block,
+                          hash_partitioned_agg, reduce_side_lookup)
+    from .spill import pin
+
+    def _canon(d: pd.DataFrame) -> pd.DataFrame:
+        a = d.get(src, pd.Series([], dtype=object))
+        b = d.get(dst, pd.Series([], dtype=object))
+        lo = np.where(np.asarray(a) < np.asarray(b), a, b) if len(d) else []
+        hi = np.where(np.asarray(a) < np.asarray(b), b, a) if len(d) else []
+        out = pd.DataFrame({"u": lo, "v": hi})
+        return out[out["u"] != out["v"]] if len(out) else out
+
+    und = pin(hash_partitioned_agg(
+        edges_ds.map_batches(_canon, batch_format="pandas"),
+        ["u", "v"], distinct_block(["u", "v"]), num_parts=num_parts,
+    ), "nsim-und")
+
+    def _deg_rows(d: pd.DataFrame) -> pd.DataFrame:
+        if "u" not in d.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "deg": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"node": pd.concat([d["u"], d["v"]], ignore_index=True),
+                             "deg": np.int64(1)})
+
+    def _deg_sum(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby("node", sort=False, as_index=False)["deg"].sum()
+
+    degs = hash_partitioned_agg(
+        und.map_batches(_deg_rows, batch_format="pandas"),
+        ["node"], _deg_sum, num_parts=num_parts,
+    )
+
+    def _adj(d: pd.DataFrame) -> pd.DataFrame:
+        if "u" not in d.columns or not len(d):
+            return pd.DataFrame({"m": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=object)})
+        out = pd.DataFrame(
+            {"m": pd.concat([d["u"], d["v"]], ignore_index=True),
+             "n": pd.concat([d["v"], d["u"]], ignore_index=True)}
+        )
+        out[PART_COL] = (_key_hash(out, ["m"]) % num_parts).astype("int64")
+        return out
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"node_a": pd.Series([], dtype=object),
+                              "node_b": pd.Series([], dtype=object),
+                              "common": pd.Series([], dtype="int64")})
+        if "m" not in g.columns or not len(g):
+            return empty
+        g = g.sort_values(["m", "n"], kind="mergesort")
+        starts, counts = _bucket_layout(g, ["m"])
+        if max_middle_degree is not None:
+            keep_rows = np.repeat(counts <= max_middle_degree, counts)
+            g = g[keep_rows]
+            if not len(g):
+                return empty
+            starts, counts = _bucket_layout(g, ["m"])
+        I, J = _intra_bucket_pairs(starts, counts)
+        nb = g["n"].to_numpy()
+        # neighbors ascend within each middle's run → node_a < node_b
+        return pd.DataFrame({"node_a": nb[I], "node_b": nb[J],
+                             "common": np.int64(1)})
+
+    pair_rows = (
+        und.map_batches(_adj, batch_format="pandas")
+        .repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_pairs, batch_format="pandas")
+    )
+
+    def _common_sum(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby(["node_a", "node_b"], sort=False, as_index=False)["common"].sum()
+
+    common = hash_partitioned_agg(pair_rows, ["node_a", "node_b"], _common_sum,
+                                  num_parts=num_parts)
+
+    def _as_lut(col: str):
+        def _f(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": d.get("node", pd.Series([], dtype=object)),
+                                 col: d.get("deg", pd.Series([], dtype="int64"))})
+        return _f
+
+    with_da = reduce_side_lookup(
+        common, ["node_a", "node_b", "common"], "node_a",
+        degs.map_batches(_as_lut("deg_a"), batch_format="pandas"), "node", ["deg_a"],
+        num_parts=num_parts,
+    )
+    with_db = reduce_side_lookup(
+        with_da, ["node_a", "node_b", "common", "deg_a"], "node_b",
+        degs.map_batches(_as_lut("deg_b"), batch_format="pandas"), "node", ["deg_b"],
+        num_parts=num_parts,
+    )
+
+    def _score(d: pd.DataFrame) -> pd.DataFrame:
+        if "common" not in d.columns or not len(d):
+            return pd.DataFrame({c: pd.Series([], dtype="int64" if c != "node_a" and c != "node_b" else object)
+                                 for c in ("node_a", "node_b", "common", "deg_a", "deg_b", "jaccard_micros")})
+        c = d["common"].astype("int64")
+        da = d["deg_a"].astype("int64")
+        db = d["deg_b"].astype("int64")
+        return pd.DataFrame(
+            {
+                "node_a": d["node_a"],
+                "node_b": d["node_b"],
+                "common": c,
+                "deg_a": da,
+                "deg_b": db,
+                # floor division on positive ints ≡ the mirror's BIGINT //
+                "jaccard_micros": (c.to_numpy() * 1_000_000) // (da + db - c).to_numpy(),
+            }
+        )
+
+    return with_db.map_batches(_score, batch_format="pandas")

@@ -105,3 +105,63 @@ def test_triangles_wheel_graph(ray_session):
     got = _tri_rows(triangles_ds(rd.from_pandas(e), num_parts=3))
     assert got == _brute_triangles(e)
     assert len(got) == k
+
+
+def _nsim_serial(edges):
+    """Scalar-loop common-neighbor Jaccard reference."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    out = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            common = len(adj[x] & adj[y])
+            if common:
+                out[(x, y)] = (common, len(adj[x]), len(adj[y]),
+                               common * 1_000_000 // (len(adj[x]) + len(adj[y]) - common))
+    return out
+
+
+def test_node_similarity_matches_serial(ray_session):
+    from knowledgegraph__bh_ray.stages.pagerank import node_similarity_ds
+
+    rng = np.random.default_rng(21)
+    n = 30
+    edges = list({(f"n{a:02d}", f"n{b:02d}")
+                  for a, b in rng.integers(0, n, size=(120, 2)) if a != b})
+    # parallel + reversed duplicates must collapse in the distinct pass
+    dup_edges = edges + [(b, a) for a, b in edges[:10]] + edges[:5]
+    ds = rd.from_pandas(pd.DataFrame(dup_edges, columns=["src_url", "dst_url"]))
+    got = node_similarity_ds(ds).to_pandas()
+    ref = _nsim_serial(edges)
+
+    assert len(got) == len(ref)
+    for _, r in got.iterrows():
+        key = (r["node_a"], r["node_b"])
+        assert key in ref, key
+        assert (int(r["common"]), int(r["deg_a"]), int(r["deg_b"]),
+                int(r["jaccard_micros"])) == ref[key], key
+
+
+def test_node_similarity_stop_hub_cap(ray_session):
+    from knowledgegraph__bh_ray.stages.pagerank import node_similarity_ds
+
+    # star: hub h adjacent to 40 leaves, plus one leaf-leaf edge
+    edges = [("hub", f"leaf{i:02d}") for i in range(40)] + [("leaf00", "leaf01")]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src_url", "dst_url"]))
+
+    full = node_similarity_ds(ds).to_pandas()
+    # all 40·39/2 leaf pairs share the hub, plus hub-leaf pairs via leaf00/leaf01
+    assert len(full) == 40 * 39 // 2 + 2
+
+    capped = node_similarity_ds(ds, max_middle_degree=10).to_pandas()
+    # hub (degree 40) dropped as a middle: only wedges through leaf00/leaf01 remain
+    assert set(zip(capped["node_a"], capped["node_b"])) == {
+        ("hub", "leaf01"), ("hub", "leaf00")}
+    # degrees in the capped output stay TRUE degrees (cap affects middles only)
+    assert (capped["deg_a"] == 40).all()
