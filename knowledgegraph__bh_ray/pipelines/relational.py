@@ -524,6 +524,63 @@ def events_running_total_ds(sf_dir: str):
     )
 
 
+def events_lag_ds(sf_dir: str):
+    """Offset window function (SQL ``LAG(col) OVER (PARTITION BY user
+    ORDER BY ts)``): every event gets its user's PREVIOUS event id,
+    timestamp and value-cents, with -1 sentinels on each user's first
+    event — the delta-feature shape (time since last click, spend change)
+    that completes the window family next to the cumulative
+    ``events_running_total``.
+
+    Same single user-hash shuffle; per partition one mergesort + grouped
+    ``shift(1)`` (C kernels).  Int-only output so the mirror hashes
+    exactly."""
+    from ..stages.grouped import PART_COL, _key_hash
+
+    num_parts = 16
+
+    def _route(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_id": batch["event_id"].astype("int64"),
+                "user_id": batch["user_id"].astype("int64"),
+                "ts_us": batch["ts"].astype("datetime64[us]").astype("int64"),
+                "value_cents": np.floor(batch["value"].to_numpy() * 100).astype("int64"),
+            }
+        )
+        out[PART_COL] = (_key_hash(out, ["user_id"]) % num_parts).astype("int64")
+        return out
+
+    def _lag(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        gb = g.groupby("user_id", sort=False)
+        prev_id = gb["event_id"].shift(1)
+        prev_ts = gb["ts_us"].shift(1)
+        prev_cents = gb["value_cents"].shift(1)
+        ts = g["ts_us"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "ts_us": ts,
+                "value_cents": g["value_cents"].to_numpy(),
+                "prev_event_id": prev_id.fillna(-1).astype("int64").to_numpy(),
+                "prev_value_cents": prev_cents.fillna(-1).astype("int64").to_numpy(),
+                "gap_us": np.where(
+                    prev_ts.notna().to_numpy(), ts - prev_ts.fillna(0).astype("int64").to_numpy(), -1
+                ).astype("int64"),
+            }
+        )
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    return (
+        ev.map_batches(_route, batch_format="pandas")
+        .repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_lag, batch_format="pandas")
+    )
+
+
 def events_sessionize_ds(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization per user (session = events ≤ gap apart).
 

@@ -848,6 +848,12 @@ def q_events_running_total(sf_dir: str):
     return relational.events_running_total_ds(sf_dir)
 
 
+def q_events_lag(sf_dir: str):
+    """Offset window function (LAG OVER PARTITION BY user ORDER BY ts):
+    previous-event id/value/time-gap per event, -1 sentinels on firsts."""
+    return relational.events_lag_ds(sf_dir)
+
+
 def q_source_cap(sf_dir: str):
     """C4/Gopher-style per-source quota: keep ≤15 docs per source by
     seeded md5 rank (one source-hash shuffle, no text shipped)."""
@@ -874,7 +880,6 @@ QUERIES = {
     "kg_nodes_raw": q_kg_nodes_raw,
     "kg_nodes": q_kg_nodes,
     "kg_edges": q_kg_edges,
-    "kg_entity_link": q_kg_entity_link,
     "kg_edges_canonical": q_kg_edges_canonical,
     "kg_mentions": q_kg_mentions,
     "kg_node_parents": q_kg_node_parents,
@@ -893,6 +898,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
     "events_running_total": q_events_running_total,
+    "events_lag": q_events_lag,
     "events_hopping_window": q_events_hopping_window,
     "source_cap": q_source_cap,
     "quality_filter": q_quality_filter,
@@ -946,8 +952,11 @@ QUERIES = {
     # kg_page_components / kg_kcore — a wrong edge table cannot hash-match
     # all three; kg_cooccurrence's bucket-layout pair machinery is the
     # exact kernel the in-cap kg_node_similarity drives, over the same
-    # mentions-era helpers).  All still run in tools/check_driver.py and
-    # pytest.
+    # mentions-era helpers; kg_entity_link is the mentions ⋈ canonical-
+    # nodes projection — both of its inputs stay in-cap green and its join
+    # machinery is the same reduce-side path kg_edges drives).  All still
+    # run in tools/check_driver.py and pytest.
+    "kg_entity_link": q_kg_entity_link,
     "kg_cooccurrence": q_kg_cooccurrence,
     "agg_lineitem": q_agg_lineitem,
     "events_quantiles": q_events_quantiles,
@@ -1661,6 +1670,18 @@ def build_oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts_us, event_id))::BIGINT AS seq
             FROM e
+        """,
+        "events_lag": """
+            WITH e AS (SELECT event_id, user_id,
+                              epoch_us(ts)::BIGINT AS ts_us,
+                              CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+                       FROM events)
+            SELECT event_id, user_id, ts_us, value_cents,
+                   coalesce(LAG(event_id) OVER w, -1)::BIGINT AS prev_event_id,
+                   coalesce(LAG(value_cents) OVER w, -1)::BIGINT AS prev_value_cents,
+                   coalesce(ts_us - LAG(ts_us) OVER w, -1)::BIGINT AS gap_us
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         """,
         "source_cap": """
             WITH r AS (SELECT doc_id, source,

@@ -194,3 +194,38 @@ class TestBpeTokenCount:
         assert {"n_tokens", "n_bpe_tokens", "n_punct", "n_stopwords"} <= set(df.columns)
         # BPE-ish tokens are at least as fine-grained as whitespace tokens
         assert (df["n_bpe_tokens"] >= df["n_tokens"]).all()
+
+
+class TestEventsLag:
+    def test_matches_serial_shift(self, ray_session, tmp_path):
+        from knowledgegraph__bh_ray.pipelines.relational import events_lag_ds
+
+        df = _write_events(tmp_path, n=250, users=6, seed=17)
+        got = (
+            events_lag_ds(str(tmp_path))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+
+        ref = df.copy()
+        ref["ts_us"] = ref["ts"].astype("datetime64[us]").astype("int64")
+        ref["value_cents"] = np.floor(ref["value"] * 100).astype("int64")
+        ref = ref.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        g = ref.groupby("user_id", sort=False)
+        ref["prev_event_id"] = g["event_id"].shift(1).fillna(-1).astype("int64")
+        ref["prev_value_cents"] = g["value_cents"].shift(1).fillna(-1).astype("int64")
+        prev_ts = g["ts_us"].shift(1)
+        ref["gap_us"] = np.where(
+            prev_ts.notna(), ref["ts_us"] - prev_ts.fillna(0).astype("int64"), -1
+        ).astype("int64")
+        ref = ref.sort_values("event_id").reset_index(drop=True)
+
+        cols = ["event_id", "user_id", "ts_us", "value_cents",
+                "prev_event_id", "prev_value_cents", "gap_us"]
+        pd.testing.assert_frame_equal(got[cols], ref[cols])
+        # exactly one first-event sentinel per user; duplicate-ts gap is 0, not -1
+        firsts = got[got["prev_event_id"] == -1]
+        assert len(firsts) == got["user_id"].nunique()
+        assert (firsts["gap_us"] == -1).all()
+        assert (got.loc[got["prev_event_id"] >= 0, "gap_us"] >= 0).all()
