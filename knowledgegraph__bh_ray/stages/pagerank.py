@@ -529,10 +529,13 @@ def node_similarity_ds(edges_ds, src: str = "src_url", dst: str = "dst_url",
     def _deg_sum(d: pd.DataFrame) -> pd.DataFrame:
         return d.groupby("node", sort=False, as_index=False)["deg"].sum()
 
-    degs = hash_partitioned_agg(
+    # pinned: degs feeds BOTH reduce-side lookups below — unpinned it would
+    # re-run its shuffle DAG once per consumer (the tfidf materialize-once
+    # rule); the pin is node-scale, not edge-scale
+    degs = pin(hash_partitioned_agg(
         und.map_batches(_deg_rows, batch_format="pandas"),
         ["node"], _deg_sum, num_parts=num_parts,
-    )
+    ), "nsim-degs")
 
     def _adj(d: pd.DataFrame) -> pd.DataFrame:
         if "u" not in d.columns or not len(d):
