@@ -103,3 +103,51 @@ def test_pdf_stage_empty_payload(ray_session):
     ex = PdfTextExtractor(decode_fn=lambda p: [])
     df = ex(pd.DataFrame({"doc_id": [1], "payload": [b""]}))
     assert df["text"].tolist() == [""] and df["n_pages"].tolist() == [0]
+
+
+def test_round3_ops_on_degenerate_inputs(ray_session, tmp_path):
+    """Round-3-continuation ops on zero-row / single-row inputs."""
+    import numpy as np
+
+    from knowledgegraph__bh_ray.pipelines.relational import (
+        events_lag_ds,
+        events_running_total_ds,
+    )
+    from knowledgegraph__bh_ray.pipelines.textops import source_cap_ds
+    from knowledgegraph__bh_ray.stages.dedup import semantic_dedup_ds
+    from knowledgegraph__bh_ray.stages.pagerank import node_similarity_ds
+
+    # single-event events table: running total == the event, lag == sentinels
+    t = pa.table(
+        {
+            "event_id": pa.array([7], pa.int64()),
+            "ts": pa.array([pd.Timestamp("2025-01-01")], pa.timestamp("us")),
+            "user_id": pa.array([1], pa.int64()),
+            "value": pa.array([2.5], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    rt = events_running_total_ds(str(tmp_path)).to_pandas()
+    assert len(rt) == 1 and rt["running_cents"].iloc[0] == 250 and rt["seq"].iloc[0] == 1
+    lg = events_lag_ds(str(tmp_path)).to_pandas()
+    assert len(lg) == 1 and lg["prev_event_id"].iloc[0] == -1 and lg["gap_us"].iloc[0] == -1
+
+    # source cap over a single-doc documents table
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "source": ["s"], "text": ["x"]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    sc = source_cap_ds(str(tmp_path)).to_pandas()
+    assert len(sc) == 1 and sc["rank"].iloc[0] == 1
+
+    # node similarity over a graph with no shared neighbors (one edge)
+    one = rd.from_pandas(pd.DataFrame({"src_url": ["a"], "dst_url": ["b"]}))
+    assert len(node_similarity_ds(one).to_pandas()) == 0
+
+    # semantic dedup over a single vector: kept, no dup_of
+    sd = semantic_dedup_ds(
+        rd.from_pandas(pd.DataFrame({"vec_id": pd.array([1], dtype="int64"),
+                                     "embedding": [np.ones(4, dtype=np.float32)]})),
+        "vec_id", "embedding",
+    ).to_pandas()
+    assert len(sd) == 1 and bool(sd["keep"].iloc[0]) and sd["dup_of"].iloc[0] == -1
