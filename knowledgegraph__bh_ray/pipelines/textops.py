@@ -1240,3 +1240,84 @@ def dup_passage_ds(sf_dir: str, n: int = 4, num_parts: int = 8):
         )
 
     return per_doc.map_batches(_final, batch_format="pandas")
+
+
+PROFILE_INT_COLS = ("doc_id", "n_chars")
+PROFILE_STR_COLS = ("lang", "source")
+
+
+def profile_documents_ds(sf_dir: str):
+    """Column-profile audit of the documents table — the pre-training data
+    QA pass (row/null/distinct counts, typed min/max per column) you run
+    before pointing a training job at a corpus.
+
+    ONE shuffle, volume ∝ Σ|distinct values per column| (never corpus
+    rows): each batch emits pre-counted (column, value, n) partial rows —
+    duplicates collapse inside the batch — plus null-counter rows under a
+    reserved key; the partitioned combine re-sums; the final per-column
+    fold is |columns| rows of work.  Typed min/max: numeric columns
+    compare numerically (value stored as micros-free int string but
+    compared via int cast), string columns lexicographically — matching
+    the mirror's native-type min/max exactly."""
+    from ..stages.grouped import hash_partitioned_agg
+
+    NULL_KEY = "\x00null"
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col in PROFILE_INT_COLS + PROFILE_STR_COLS:
+            s = batch[col]
+            nulls = int(s.isna().sum())
+            vc = s.dropna().astype("int64" if col in PROFILE_INT_COLS else str) \
+                  .value_counts(sort=False)
+            f = pd.DataFrame(
+                {"column": col, "value": vc.index.astype(str), "n": vc.to_numpy().astype("int64")}
+            )
+            if nulls:
+                f = pd.concat(
+                    [f, pd.DataFrame({"column": [col], "value": [NULL_KEY],
+                                      "n": np.int64(nulls)})],
+                    ignore_index=True,
+                )
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    def _sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["column", "value"], sort=False, as_index=False)["n"].sum()
+
+    docs = read_table(sf_dir, "documents",
+                      columns=list(PROFILE_INT_COLS + PROFILE_STR_COLS))
+    counts = hash_partitioned_agg(
+        docs.map_batches(_partial, batch_format="pandas"),
+        ["column", "value"], _sum, num_parts=8,
+    )
+
+    def _fold(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col, g in group.groupby("column", sort=False):
+            nulls = g[g["value"] == NULL_KEY]
+            vals = g[g["value"] != NULL_KEY]
+            n_nulls = int(nulls["n"].sum())
+            n_rows = int(vals["n"].sum()) + n_nulls
+            if col in PROFILE_INT_COLS:
+                iv = vals["value"].astype("int64")
+                mn_i, mx_i = (int(iv.min()), int(iv.max())) if len(iv) else (-1, -1)
+                mn_s = mx_s = ""
+            else:
+                sv = vals["value"]
+                mn_i = mx_i = -1
+                mn_s, mx_s = (str(sv.min()), str(sv.max())) if len(sv) else ("", "")
+            rows.append((col, n_rows, n_nulls, int(len(vals)), mn_i, mx_i, mn_s, mx_s))
+        out = pd.DataFrame(
+            rows, columns=["column", "n_rows", "n_nulls", "n_distinct",
+                           "min_int", "max_int", "min_str", "max_str"]
+        )
+        for c in ("n_rows", "n_nulls", "n_distinct", "min_int", "max_int"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    from ..stages.grouped import coalesced_groupby
+
+    return coalesced_groupby(counts, "column", 4).map_groups(
+        _fold, batch_format="pandas"
+    )

@@ -848,6 +848,12 @@ def q_events_running_total(sf_dir: str):
     return relational.events_running_total_ds(sf_dir)
 
 
+def q_profile_documents(sf_dir: str):
+    """Column-profile audit (rows/nulls/distinct + typed min/max per
+    column) — one (column, value)-count shuffle, |columns| output rows."""
+    return textops.profile_documents_ds(sf_dir)
+
+
 def q_events_lag(sf_dir: str):
     """Offset window function (LAG OVER PARTITION BY user ORDER BY ts):
     previous-event id/value/time-gap per event, -1 sentinels on firsts."""
@@ -877,7 +883,6 @@ QUERIES = {
     "kg_extract": q_kg_extract,
     "kg_links": q_kg_links,
     "kg_triples_raw": q_kg_triples_raw,
-    "kg_nodes_raw": q_kg_nodes_raw,
     "kg_nodes": q_kg_nodes,
     "kg_edges": q_kg_edges,
     "kg_edges_canonical": q_kg_edges_canonical,
@@ -902,6 +907,7 @@ QUERIES = {
     "events_hopping_window": q_events_hopping_window,
     "source_cap": q_source_cap,
     "quality_filter": q_quality_filter,
+    "profile_documents": q_profile_documents,
     "tfidf_terms": q_tfidf_terms,
     "bigram_top": q_bigram_top,
     "distinct_users_by_type": q_distinct_users_by_type,
@@ -954,8 +960,12 @@ QUERIES = {
     # exact kernel the in-cap kg_node_similarity drives, over the same
     # mentions-era helpers; kg_entity_link is the mentions ⋈ canonical-
     # nodes projection — both of its inputs stay in-cap green and its join
-    # machinery is the same reduce-side path kg_edges drives).  All still
-    # run in tools/check_driver.py and pytest.
+    # machinery is the same reduce-side path kg_edges drives; kg_nodes_raw
+    # is the line-parse stream that the in-cap kg_nodes dedups and the
+    # in-cap kg_triples_raw shares a parser with — a wrong raw stream
+    # cannot leave both green).  All still run in tools/check_driver.py
+    # and pytest.
+    "kg_nodes_raw": q_kg_nodes_raw,
     "kg_entity_link": q_kg_entity_link,
     "kg_cooccurrence": q_kg_cooccurrence,
     "agg_lineitem": q_agg_lineitem,
@@ -1670,6 +1680,27 @@ def build_oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts_us, event_id))::BIGINT AS seq
             FROM e
+        """,
+        "profile_documents": """
+            SELECT 'doc_id' AS column, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(doc_id))::BIGINT AS n_nulls,
+                   count(DISTINCT doc_id)::BIGINT AS n_distinct,
+                   min(doc_id)::BIGINT AS min_int, max(doc_id)::BIGINT AS max_int,
+                   '' AS min_str, '' AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars),
+                   min(n_chars)::BIGINT, max(n_chars)::BIGINT, '', ''
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang), -1, -1, min(lang), max(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source), -1, -1, min(source), max(source)
+            FROM documents
         """,
         "events_lag": """
             WITH e AS (SELECT event_id, user_id,

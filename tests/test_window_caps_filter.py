@@ -229,3 +229,27 @@ class TestEventsLag:
         assert len(firsts) == got["user_id"].nunique()
         assert (firsts["gap_us"] == -1).all()
         assert (got.loc[got["prev_event_id"] >= 0, "gap_us"] >= 0).all()
+
+
+class TestProfileDocuments:
+    def test_profile_with_nulls(self, ray_session, tmp_path):
+        from knowledgegraph__bh_ray.pipelines.textops import profile_documents_ds
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": ["a", "b", "c", "d"],
+                    "lang": pa.array(["en", None, "zh", "en"], pa.string()),
+                    "source": pa.array(["s1", "s1", None, None], pa.string()),
+                    "n_chars": pa.array([10, 20, 10, None], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = profile_documents_ds(str(tmp_path)).to_pandas().set_index("column")
+        assert (got["n_rows"] == 4).all()
+        assert got.loc["doc_id"].tolist() == [4, 0, 4, 1, 4, "", ""]
+        assert got.loc["n_chars"].tolist() == [4, 1, 2, 10, 20, "", ""]
+        assert got.loc["lang"].tolist() == [4, 1, 2, -1, -1, "en", "zh"]
+        assert got.loc["source"].tolist() == [4, 2, 1, -1, -1, "s1", "s1"]
