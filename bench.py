@@ -141,7 +141,9 @@ def run_bench() -> dict:
     timed("lm_perplexity", lambda: textops.lm_perplexity_ds(SF_DIR).count())
     timed("dup_passage", lambda: textops.dup_passage_ds(SF_DIR).count())
     timed("events_running_total", lambda: relational.events_running_total_ds(SF_DIR).count())
+    timed("events_lag", lambda: relational.events_lag_ds(SF_DIR).count())
     timed("source_cap", lambda: textops.source_cap_ds(SF_DIR).count())
+    timed("profile_documents", lambda: textops.profile_documents_ds(SF_DIR).count())
     timed("quality_filter", lambda: textops.quality_filter_ds(SF_DIR).count())
 
     def _semdedup():
