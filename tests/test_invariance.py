@@ -102,3 +102,67 @@ def test_reduce_side_ops_partition_invariance(ray_session):
     a, b = run(lambda ds, **kw: reduce_side_lookup(ds, ["rid", "k"], "k",
                                                    rd.from_pandas(lut), "kk", ["v"], **kw))
     assert a.equals(b) and len(a) == 120
+
+
+def test_node_similarity_partition_invariance(ray_session):
+    """node_similarity output must not depend on num_parts (every exchange
+    is keyed; pair generation happens only within a middle's full run)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from knowledgegraph__bh_ray.stages.pagerank import node_similarity_ds
+
+    rng = np.random.default_rng(33)
+    edges = list({(f"v{a}", f"v{b}") for a, b in rng.integers(0, 25, (90, 2)) if a != b})
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src_url", "dst_url"]))
+
+    def run(parts):
+        return (
+            node_similarity_ds(ds, num_parts=parts)
+            .to_pandas()
+            .sort_values(["node_a", "node_b"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(2), run(7))
+
+
+def test_profile_documents_partition_invariance(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray.pipelines.textops import profile_documents_ds
+
+    rng = np.random.default_rng(4)
+    n = 300
+    # two files so the read produces multiple blocks
+    for i, sl in enumerate((slice(0, 150), slice(150, n))):
+        ids = np.arange(n, dtype="int64")[sl]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": ["x"] * len(ids),
+                    "lang": rng.choice(["en", "zh", "de"], len(ids)).tolist(),
+                    "source": rng.choice(["a", "b"], len(ids)).tolist(),
+                    "n_chars": pa.array(rng.integers(1, 50, len(ids)), pa.int64()),
+                }
+            ),
+            str(tmp_path / f"documents_{i}.parquet"),
+        )
+    import shutil
+    # profile reads documents.parquet; build a directory-compatible single file
+    # by concatenating both halves deterministically
+    both = pa.concat_tables([pq.read_table(str(tmp_path / f"documents_{i}.parquet")) for i in (0, 1)])
+    pq.write_table(both, str(tmp_path / "documents.parquet"))
+
+    a = profile_documents_ds(str(tmp_path)).to_pandas().sort_values("column").reset_index(drop=True)
+    b = profile_documents_ds(str(tmp_path)).to_pandas().sort_values("column").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # sanity vs pandas truth
+    df = both.to_pandas()
+    row = a.set_index("column").loc["lang"]
+    assert row["n_distinct"] == df["lang"].nunique() and row["n_rows"] == n
