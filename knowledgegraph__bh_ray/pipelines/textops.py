@@ -1321,3 +1321,62 @@ def profile_documents_ds(sf_dir: str):
     return coalesced_groupby(counts, "column", 4).map_groups(
         _fold, batch_format="pandas"
     )
+
+
+def mix_corpora_ds(sf_dir: str, seed: str = "m0"):
+    """Deterministic weighted corpus mixing — the LLM-training data-mix
+    step (interleave sources into one stream at target proportions, e.g.
+    upweighting curated sources): every doc gets an integer ``stride_key``
+    such that reading the corpus in ``stride_key`` order yields each
+    source at ~its weight share, with each source's own docs in seeded
+    md5-shuffled order.
+
+    Weight rule (shared verbatim with the mirror): sources named
+    ``src<N>`` get weight ``N % 3 + 1``.  Stride scheduling: the k-th doc
+    of a weight-w source lands at key ``(2k-1)·SCALE // (2w)`` — the
+    classic deterministic interleave, all integer math.
+
+    100-TB shape: ONE source-hash shuffle (rank within source = the
+    source_cap mergesort+cumcount kernel); NO global sort anywhere — the
+    key is locally computable and any consumer (e.g. the shuffle_shard
+    writer) range-partitions on it."""
+    from ..stages.grouped import PART_COL, _key_hash
+
+    num_parts = 8
+    SCALE = 1_000_000
+
+    def _route(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "source": batch["source"],
+                "k": batch["doc_id"].map(
+                    lambda i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+                ),
+            }
+        )
+        out[PART_COL] = (_key_hash(out, ["source"]) % num_parts).astype("int64")
+        return out
+
+    def _stride(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["source", "k", "doc_id"], kind="mergesort")
+        pos = (g.groupby("source", sort=False).cumcount() + 1).astype("int64").to_numpy()
+        srcnum = g["source"].str.extract(r"(\d+)$", expand=False).fillna("0").astype("int64")
+        weight = (srcnum.to_numpy() % 3 + 1).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "source": g["source"].to_numpy(),
+                "pos_in_source": pos,
+                "weight": weight,
+                "stride_key": (2 * pos - 1) * SCALE // (2 * weight),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return (
+        docs.map_batches(_route, batch_format="pandas")
+        .repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_stride, batch_format="pandas")
+    )

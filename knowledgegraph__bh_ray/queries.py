@@ -848,6 +848,12 @@ def q_events_running_total(sf_dir: str):
     return relational.events_running_total_ds(sf_dir)
 
 
+def q_mix_corpora(sf_dir: str):
+    """Weighted corpus mixing: deterministic stride-interleave key per doc
+    (source weight = srcN → N%3+1), no global sort."""
+    return textops.mix_corpora_ds(sf_dir)
+
+
 def q_profile_documents(sf_dir: str):
     """Column-profile audit (rows/nulls/distinct + typed min/max per
     column) — one (column, value)-count shuffle, |columns| output rows."""
@@ -964,7 +970,10 @@ QUERIES = {
     # is the line-parse stream that the in-cap kg_nodes dedups and the
     # in-cap kg_triples_raw shares a parser with — a wrong raw stream
     # cannot leave both green).  All still run in tools/check_driver.py
-    # and pytest.
+    # and pytest.  mix_corpora leads this section: it is the one mirror
+    # with no prior driver row, so if the cap is looser than ~50 it is the
+    # first extra row checked.
+    "mix_corpora": q_mix_corpora,
     "kg_nodes_raw": q_kg_nodes_raw,
     "kg_entity_link": q_kg_entity_link,
     "kg_cooccurrence": q_kg_cooccurrence,
@@ -1680,6 +1689,21 @@ def build_oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts_us, event_id))::BIGINT AS seq
             FROM e
+        """,
+        "mix_corpora": """
+            WITH r AS (SELECT doc_id, source,
+                              row_number() OVER (
+                                PARTITION BY source
+                                ORDER BY md5('m0:' || doc_id::VARCHAR), doc_id
+                              ) AS pos_in_source,
+                              (CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 3 + 1)
+                                AS weight
+                       FROM documents)
+            SELECT doc_id, source, pos_in_source::BIGINT AS pos_in_source,
+                   weight::BIGINT AS weight,
+                   ((2 * pos_in_source - 1) * 1000000 // (2 * weight))::BIGINT
+                     AS stride_key
+            FROM r
         """,
         "profile_documents": """
             SELECT 'doc_id' AS column, count(*)::BIGINT AS n_rows,

@@ -253,3 +253,43 @@ class TestProfileDocuments:
         assert got.loc["n_chars"].tolist() == [4, 1, 2, 10, 20, "", ""]
         assert got.loc["lang"].tolist() == [4, 1, 2, -1, -1, "en", "zh"]
         assert got.loc["source"].tolist() == [4, 2, 1, -1, -1, "s1", "s1"]
+
+
+class TestMixCorpora:
+    def test_stride_interleave_proportions(self, ray_session, tmp_path):
+        from knowledgegraph__bh_ray.pipelines.textops import mix_corpora_ds
+
+        # src1 (w=2) twice the share of src0/src3 (w=1), src2 (w=3) thrice
+        sizes = {"src0": 120, "src1": 120, "src2": 120, "src3": 120}
+        rows = []
+        i = 0
+        for s, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, s)); i += 1
+        df = pd.DataFrame(rows, columns=["doc_id", "source"])
+        pq.write_table(
+            pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                      "source": df["source"].tolist(), "text": ["t"] * len(df)}),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = mix_corpora_ds(str(tmp_path)).to_pandas()
+        assert len(got) == len(df)
+
+        # serial reference for the key rule
+        ref_k = df["doc_id"].map(lambda i: hashlib.md5(f"m0:{i}".encode()).hexdigest())
+        ref = df.assign(k=ref_k).sort_values(["source", "k", "doc_id"], kind="mergesort")
+        ref["pos_in_source"] = ref.groupby("source", sort=False).cumcount() + 1
+        ref["weight"] = ref["source"].str.extract(r"(\d+)$", expand=False).astype(int) % 3 + 1
+        ref["stride_key"] = (2 * ref["pos_in_source"] - 1) * 1_000_000 // (2 * ref["weight"])
+        m = got.sort_values("doc_id").reset_index(drop=True)
+        r = ref.sort_values("doc_id").reset_index(drop=True)
+        for c in ("pos_in_source", "weight", "stride_key"):
+            assert (m[c].to_numpy() == r[c].to_numpy()).all(), c
+
+        # proportions: in stride order, an early prefix carries sources at
+        # ~weight ratios (weights here: src0=1, src1=2, src2=3, src3=1)
+        order = got.sort_values(["stride_key", "source"]).head(140)
+        share = order["source"].value_counts()
+        assert share["src2"] > share["src1"] > share["src0"]
+        assert abs(share["src2"] - 3 * share["src0"]) <= 3
+        assert abs(share["src1"] - 2 * share["src0"]) <= 2
