@@ -909,11 +909,13 @@ def source_cap_ds(sf_dir: str, cap: int = 15, seed: str = "s0"):
 
     ONE source-hash shuffle co-locates each source's docs; each partition
     ranks all its sources in one mergesort + grouped cumcount (C kernels).
-    The shuffle ships only (doc_id, source, 32-hex rank key) — never text.
-    Skew bound = the hottest source's doc count; if a single source were
-    corpus-sized, the md5-rank top-n is associative, so a per-batch
-    pre-cap at ``cap`` rows (the stratified_sample partial-top-n trick)
-    bounds the shuffle at ``cap × batches`` rows per source."""
+    The shuffle ships only (doc_id, source, 32-hex rank key) — never text —
+    and each batch PRE-CAPS to its own ``cap`` lowest-ranked rows per
+    source before shipping (md5-rank top-n is associative: only a batch's
+    cap-lowest keys can survive the global rank), so even a corpus-sized
+    source moves at most ``cap × batches`` rows through the exchange
+    rather than its full row count (pre-cap ≡ no-pre-cap equality is
+    pytest-pinned)."""
     from ..stages.grouped import PART_COL, _key_hash
 
     num_parts = 8
@@ -928,6 +930,8 @@ def source_cap_ds(sf_dir: str, cap: int = 15, seed: str = "s0"):
                 ),
             }
         )
+        out = out.sort_values(["source", "k", "doc_id"], kind="mergesort")
+        out = out[out.groupby("source", sort=False).cumcount() < cap]
         out[PART_COL] = (_key_hash(out, ["source"]) % num_parts).astype("int64")
         return out
 

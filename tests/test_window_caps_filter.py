@@ -293,3 +293,49 @@ class TestMixCorpora:
         assert share["src2"] > share["src1"] > share["src0"]
         assert abs(share["src2"] - 3 * share["src0"]) <= 3
         assert abs(share["src1"] - 2 * share["src0"]) <= 2
+
+
+class TestSourceCapPreCap:
+    def test_precap_across_batches_equals_serial(self, ray_session, tmp_path):
+        """The per-batch associative pre-cap must not change the result
+        even when a hot source's winners are scattered across input files
+        (each file = one read batch)."""
+        from knowledgegraph__bh_ray.pipelines.textops import source_cap_ds
+
+        rng = np.random.default_rng(41)
+        ids = rng.permutation(400).astype("int64")
+        src = np.where(np.arange(400) < 300, "hot", "cold")  # hot spans files
+        for f in range(8):
+            sl = slice(f * 50, (f + 1) * 50)
+            pq.write_table(
+                pa.table({"doc_id": pa.array(ids[sl], pa.int64()),
+                          "source": src[sl].tolist(), "text": ["t"] * 50}),
+                str(tmp_path / f"documents_{f}.parquet"),
+            )
+        # merge into the expected single-table layout AND keep the shards
+        both = pa.concat_tables(
+            [pq.read_table(str(tmp_path / f"documents_{f}.parquet")) for f in range(8)]
+        )
+        sharded = tmp_path / "sharded"
+        sharded.mkdir()
+        for f in range(8):
+            (tmp_path / f"documents_{f}.parquet").rename(
+                sharded / f"documents_{f}.parquet".replace("documents_", "part_")
+            )
+        pq.write_table(both, str(tmp_path / "documents.parquet"))
+
+        got = (
+            source_cap_ds(str(tmp_path), cap=12)
+            .to_pandas()
+            .sort_values(["source", "rank"])
+            .reset_index(drop=True)
+        )
+        ref = both.to_pandas()
+        ref["k"] = ref["doc_id"].map(lambda i: hashlib.md5(f"s0:{i}".encode()).hexdigest())
+        ref = ref.sort_values(["source", "k", "doc_id"], kind="mergesort")
+        ref["rank"] = (ref.groupby("source", sort=False).cumcount() + 1).astype("int64")
+        ref = ref[ref["rank"] <= 12].sort_values(["source", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "source", "rank"]], ref[["doc_id", "source", "rank"]]
+        )
+        assert (got.groupby("source").size() == 12).all()
