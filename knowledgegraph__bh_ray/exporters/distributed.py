@@ -28,7 +28,7 @@ import os
 import pandas as pd
 
 from .neo4j_csv import edges_to_neo4j_csv
-from .rdf import CLASS_TYPES, _ttl_escape
+from .rdf import CLASS_TYPES_OWL, _ttl_escape
 
 
 def _fragment_name(prefix: str, content: str, ext: str) -> str:
@@ -53,7 +53,7 @@ def write_ttl_partitioned(nodes: pd.DataFrame, edges_ds, out_dir: str,
     with open(os.path.join(out_dir, "header.ttl"), "w", encoding="utf-8") as f:
         f.write(header)
 
-    is_class = dict(zip(nodes["id"], nodes["type"].isin(CLASS_TYPES)))
+    is_class = dict(zip(nodes["id"], nodes["type"].isin(CLASS_TYPES_OWL)))
     ref = ray.put(is_class)
     ont = ONTOLOGY_IRI + ontology_iri_suffix
     prefixes = (

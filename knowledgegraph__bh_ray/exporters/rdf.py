@@ -268,43 +268,68 @@ def _ttl_escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 
 
-def nodes_edges_to_ttl(
-    nodes: pd.DataFrame,
-    edges: pd.DataFrame,
-    ontology_iri: str = ONTOLOGY_IRI + "#",
-    data_iri: str = DATA_IRI,
-) -> str:
-    """nodes+edges tables → Turtle text (csv2ttl.py namespace layout)."""
-    lines = [
-        "@prefix owl: <http://www.w3.org/2002/07/owl#> .",
-        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .",
-        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .",
-        f"@prefix ont: <{ontology_iri}> .",
-        f"@prefix data: <{data_iri}> .",
-        "",
-    ]
-    is_class = {row["id"]: row["type"] in CLASS_TYPES for _, row in nodes.iterrows()}
+def _ttl_emit(nodes: pd.DataFrame, edges: pd.DataFrame,
+              ontology_iri: str, data_iri: str) -> tuple[list, list]:
+    """Shared csv2ttl semantics: build the Turtle LINES and the triple LIST
+    from one loop so the writer and the differential tests cannot drift.
+
+    Reference behaviors reproduced (csv2ttl.py):
+      * classes live in the ontology namespace, individuals in the data
+        namespace (csv2ttl.py:40-47); class set = the 15-type superset
+        (csv2ttl.py:11 — NOT the 5-type jsonld set);
+      * individuals are typed by their parent only when the parent is a
+        class (URI starts with the ontology iri, csv2ttl.py:55-60); class
+        children get rdfs:subClassOf (csv2ttl.py:67-72);
+        ORDER-FREE delta as in the OWL exporter: any parent in the table
+        resolves, not just ones whose row precedes the child;
+      * props are declared ``owl:AnnotationProperty`` + rdfs:label(raw key)
+        on FIRST use, values stripped, empty-after-strip skipped
+        (csv2ttl.py:77-93);
+      * relation predicates are ``owl:ObjectProperty`` + label unless the
+        URI is already declared — a predicate sharing a prop's local name
+        keeps the AnnotationProperty typing (csv2ttl.py:104-121);
+      * dangling relations skipped (csv2ttl.py:112-117)."""
+    lines: list[str] = []
+    triples: list[tuple] = []
+    is_class = {row["id"]: row["type"] in CLASS_TYPES_OWL for _, row in nodes.iterrows()}
 
     def ref(nid: str) -> str:
         return f"ont:{nid}" if is_class.get(nid) else f"data:{nid}"
 
+    def uri(nid: str) -> str:
+        return (ontology_iri if is_class.get(nid) else data_iri) + nid
+
+    declared: set[str] = set()
+
     for _, row in nodes.iterrows():
         nid = row["id"]
         subject = ref(nid)
-        lines.append(f'{subject} a {"owl:Class" if is_class[nid] else "owl:NamedIndividual"} ;')
+        kind = "Class" if is_class[nid] else "NamedIndividual"
+        lines.append(f"{subject} a owl:{kind} ;")
         lines.append(f'    rdfs:label "{_ttl_escape(row["name"])}" .')
+        triples.append((uri(nid), f"{RDF}type", ("uri", f"{OWL}{kind}")))
+        triples.append((uri(nid), f"{RDFS}label", ("lit", row["name"])))
         parent = (row.get("parent") or "").strip()
         if parent and parent in is_class:
             if is_class[nid] and is_class[parent]:
                 lines.append(f"{subject} rdfs:subClassOf {ref(parent)} .")
+                triples.append((uri(nid), f"{RDFS}subClassOf", ("uri", uri(parent))))
             elif not is_class[nid] and is_class[parent]:
                 lines.append(f"{subject} a {ref(parent)} .")
+                triples.append((uri(nid), f"{RDF}type", ("uri", uri(parent))))
         for k, v in _props(row).items():
-            if v:
+            if v and str(v).strip():
                 prop = k.replace(":", "_").replace(" ", "_")
-                lines.append(f'{subject} ont:{prop} "{_ttl_escape(str(v))}" .')
+                if prop not in declared:
+                    declared.add(prop)
+                    lines.append(f"ont:{prop} a owl:AnnotationProperty ;")
+                    lines.append(f'    rdfs:label "{_ttl_escape(k)}" .')
+                    triples.append((ontology_iri + prop, f"{RDF}type",
+                                    ("uri", f"{OWL}AnnotationProperty")))
+                    triples.append((ontology_iri + prop, f"{RDFS}label", ("lit", k)))
+                lines.append(f'{subject} ont:{prop} "{_ttl_escape(str(v).strip())}" .')
+                triples.append((uri(nid), ontology_iri + prop, ("lit", str(v).strip())))
 
-    declared: set[str] = set()
     for _, rel in edges.iterrows():
         if rel["subj"] not in is_class or rel["obj"] not in is_class:
             continue  # dangling dropped (csv2ttl.py:112-117)
@@ -313,5 +338,39 @@ def nodes_edges_to_ttl(
             declared.add(pred)
             lines.append(f"ont:{pred} a owl:ObjectProperty ;")
             lines.append(f'    rdfs:label "{_ttl_escape(str(rel["pred"]))}" .')
+            triples.append((ontology_iri + pred, f"{RDF}type",
+                            ("uri", f"{OWL}ObjectProperty")))
+            triples.append((ontology_iri + pred, f"{RDFS}label", ("lit", str(rel["pred"]))))
         lines.append(f'{ref(rel["subj"])} ont:{pred} {ref(rel["obj"])} .')
-    return "\n".join(lines) + "\n"
+        triples.append((uri(rel["subj"]), ontology_iri + pred, ("uri", uri(rel["obj"]))))
+    return lines, triples
+
+
+def nodes_edges_to_ttl_triples(
+    nodes: pd.DataFrame,
+    edges: pd.DataFrame,
+    ontology_iri: str = ONTOLOGY_IRI + "#",
+    data_iri: str = DATA_IRI,
+) -> list[tuple]:
+    """csv2ttl-semantics triple list (full URIs; objects as ("uri"/"lit",
+    value)) — the differential-test surface for the TTL exporter."""
+    return _ttl_emit(nodes, edges, ontology_iri, data_iri)[1]
+
+
+def nodes_edges_to_ttl(
+    nodes: pd.DataFrame,
+    edges: pd.DataFrame,
+    ontology_iri: str = ONTOLOGY_IRI + "#",
+    data_iri: str = DATA_IRI,
+) -> str:
+    """nodes+edges tables → Turtle text (csv2ttl.py namespaces + semantics,
+    see _ttl_emit)."""
+    lines = [
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .",
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .",
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .",
+        f"@prefix ont: <{ontology_iri}> .",
+        f"@prefix data: <{data_iri}> .",
+        "",
+    ]
+    return "\n".join(lines + _ttl_emit(nodes, edges, ontology_iri, data_iri)[0]) + "\n"

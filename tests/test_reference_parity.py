@@ -287,3 +287,270 @@ def test_md_formatter_differential(ref_mdf, text):
     assert scrub_formulas_md(text) == ref_mdf._replace_patterns(
         text, ref_mdf.DEFAULT_FORMULA_PATTERNS, "[公式]"
     )
+
+
+# ---------------------------------------------------------------------------
+# csv2owl differential: engine triple model ≡ the reference's rdflib calls
+# ---------------------------------------------------------------------------
+
+
+def _rdflib_recording_stub():
+    """Minimal rdflib stand-in that RECORDS g.add() triples (no serializer
+    — the env has no rdflib, and the semantics under test are the triple
+    set, not rdflib's XML writer)."""
+    m = types.ModuleType("rdflib")
+
+    class URIRef(str):
+        pass
+
+    class Literal(str):
+        pass
+
+    class Namespace(str):
+        def __getitem__(self, key):
+            return URIRef(str(self) + key)
+
+    class Graph:
+        def __init__(self):
+            self.t = []
+
+        def add(self, triple):
+            self.t.append(triple)
+
+        def bind(self, *a, **k):
+            pass
+
+        def triples(self, pat):
+            s, p, o = pat
+            for t in self.t:
+                if (s is None or t[0] == s) and (p is None or t[1] == p) \
+                        and (o is None or t[2] == o):
+                    yield t
+
+    class _NS:
+        def __init__(self, base):
+            self._b = base
+
+        def __getattr__(self, k):
+            return URIRef(self._b + k)
+
+    ns = types.ModuleType("rdflib.namespace")
+    ns.RDF = _NS("http://www.w3.org/1999/02/22-rdf-syntax-ns#")
+    ns.RDFS = _NS("http://www.w3.org/2000/01/rdf-schema#")
+    ns.OWL = _NS("http://www.w3.org/2002/07/owl#")
+    ns.XSD = _NS("http://www.w3.org/2001/XMLSchema#")
+    m.Graph, m.Namespace, m.URIRef, m.Literal = Graph, Namespace, URIRef, Literal
+    m.namespace = ns
+    return m, ns
+
+
+@pytest.fixture(scope="module")
+def rdflib_stub():
+    """ONE stub shared by every csv2owl/csv2ttl fixture in this module —
+    a per-fixture stub would leave isinstance checks pointing at a
+    different Literal/URIRef class than the one the reference imported."""
+    m, ns = _rdflib_recording_stub()
+    added = []
+    for name, mod in (("rdflib", m), ("rdflib.namespace", ns)):
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            added.append(name)
+    try:
+        yield sys.modules["rdflib"]
+    finally:
+        for name in added:
+            sys.modules.pop(name, None)
+
+
+@pytest.fixture(scope="module")
+def ref_csv2owl(rdflib_stub):
+    spec = importlib.util.spec_from_file_location(
+        "_ref_csv2owl", os.path.join(REF, "csv2owl.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod, rdflib_stub
+
+
+def _ref_triples(graph, stub):
+    out = set()
+    for s, p, o in graph.t:
+        if isinstance(o, stub.Literal):
+            out.add((str(s), str(p), ("lit", str(o))))
+        else:
+            out.add((str(s), str(p), ("uri", str(o))))
+    return out
+
+
+_ONT = "http://x.org/ont#"
+
+
+def _write_ref_csvs(tmp_path, type_header="type:LABLE"):
+    """Concepts/relations CSVs in the layout csv2owl EXPECTS (the md2csv
+    header-contract mismatch is pinned separately below).  Rows are
+    parents-first and prop keys need only ':'/' ' sanitizing, neutralizing
+    the engine's two documented deterministic deltas (order-free parent
+    resolution, full NCName sanitize)."""
+    import csv as _csv
+
+    concepts = tmp_path / "concepts.csv"
+    with open(concepts, "w", newline="", encoding="utf-8") as f:
+        w = _csv.DictWriter(f, fieldnames=[":ID", "name", type_header, "parent",
+                                           "描述", "level of:thing"])
+        w.writeheader()
+        rows = [
+            ("c1", "机器学习", "概念", "", "ML ", ""),          # class, padded prop
+            ("c2", "监督学习", "类别", "c1", "", "3"),           # class child → subClassOf
+            ("i1", "张三", "人物", "c1", "一个人", ""),          # individual typed by class parent
+            ("i2", "李四", "人物", "i1", "", ""),                # parent is individual → no typing
+            ("c3", "空类型", "", "c2", "", ""),                 # empty type → individual
+        ]
+        for rid, name, typ, parent, d, lvl in rows:
+            w.writerow({":ID": rid, "name": name, type_header: typ,
+                        "parent": parent, "描述": d, "level of:thing": lvl})
+    relations = tmp_path / "relations.csv"
+    with open(relations, "w", newline="", encoding="utf-8") as f:
+        w = _csv.DictWriter(f, fieldnames=[":START_ID", ":END_ID", ":TYPE"])
+        w.writeheader()
+        w.writerow({":START_ID": "c1", ":END_ID": "c2", ":TYPE": "包含"})
+        w.writerow({":START_ID": "i1", ":END_ID": "i2", ":TYPE": "认识 的"})  # space → _
+        w.writerow({":START_ID": "c1", ":END_ID": "i1", ":TYPE": "包含"})    # repeat pred
+        w.writerow({":START_ID": "c1", ":END_ID": "zz", ":TYPE": "包含"})    # dangling
+        w.writerow({":START_ID": "c2", ":END_ID": "c1", ":TYPE": "描述"})    # pred == prop name
+    return concepts, relations
+
+
+def test_owl_triples_differential_vs_reference(ref_csv2owl, tmp_path):
+    """Engine OWL triple model ≡ the reference's csv2owl rdflib calls on the
+    same input (class/individual split, parent typing vs subClassOf, prop
+    declaration-on-first-use, relation ObjectProperty+label, the
+    pred-collides-with-prop quirk, dangling skip)."""
+    import pandas as pd
+
+    from knowledgegraph__bh_ray.exporters.rdf import nodes_edges_to_owl_triples
+
+    mod, stub = ref_csv2owl
+    concepts, relations = _write_ref_csvs(tmp_path)
+    g, id_to_uri = mod.concepts_to_owl(str(concepts), _ONT)
+    g = mod.relations_to_owl(g, str(relations), id_to_uri, _ONT)
+    ref = _ref_triples(g, stub) | {(_ONT, stub.namespace.RDF._b + "type",
+                                    ("uri", stub.namespace.OWL._b + "Ontology"))}
+
+    nodes = pd.DataFrame(
+        {
+            "id": ["c1", "c2", "i1", "i2", "c3"],
+            "name": ["机器学习", "监督学习", "张三", "李四", "空类型"],
+            "type": ["概念", "类别", "人物", "人物", ""],
+            "parent": ["", "c1", "c1", "i1", "c2"],
+            "props_json": ['{"描述": "ML "}', '{"level of:thing": "3"}',
+                           '{"描述": "一个人"}', "{}", "{}"],
+        }
+    )
+    edges = pd.DataFrame(
+        {
+            "subj": ["c1", "i1", "c1", "c1", "c2"],
+            "pred": ["包含", "认识 的", "包含", "包含", "描述"],
+            "obj": ["c2", "i2", "i1", "zz", "c1"],
+        }
+    )
+    eng = set(nodes_edges_to_owl_triples(nodes, edges, _ONT))
+    assert eng == ref
+
+
+def test_reference_owl_header_contract_bug(ref_csv2owl, tmp_path):
+    """Verified reference-internal bug: csv2owl reads 'type:LABLE' (typo'd
+    LABEL) but md2csv writes a bare 'type' column — so on the reference's
+    OWN concepts.csv every entity degrades to NamedIndividual and the real
+    type value leaks out as a generic annotation-property literal.  The
+    engine reads the actual 'type' column (deliberate delta, documented at
+    exporters/rdf.py)."""
+    mod, stub = ref_csv2owl
+    concepts, relations = _write_ref_csvs(tmp_path, type_header="type")
+    g, _ = mod.concepts_to_owl(str(concepts), _ONT)
+    ref = _ref_triples(g, stub)
+    OWLNS = stub.namespace.OWL._b
+    RDFNS = stub.namespace.RDF._b
+    # 机器学习 is 概念 (a class type) — yet it is typed NamedIndividual…
+    assert (_ONT + "c1", RDFNS + "type", ("uri", OWLNS + "NamedIndividual")) in ref
+    assert not any(o == ("uri", OWLNS + "Class") for _, _, o in ref)
+    # …and its type value escapes as a plain literal property
+    assert (_ONT + "c1", _ONT + "type", ("lit", "概念")) in ref
+
+
+@pytest.fixture(scope="module")
+def ref_csv2ttl(rdflib_stub):
+    spec = importlib.util.spec_from_file_location(
+        "_ref_csv2ttl", os.path.join(REF, "csv2ttl.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod, rdflib_stub
+
+
+_DATA = "http://x.org/data/"
+
+
+def test_ttl_triples_differential_vs_reference(ref_csv2ttl, tmp_path):
+    """Engine TTL triple model ≡ the reference's csv2ttl rdflib calls on
+    the same input — the two-namespace layout (classes in ont, individuals
+    in data), the 15-type class set, prop AnnotationProperty+label
+    declarations, value stripping, and the pred-collides-with-prop quirk."""
+    import pandas as pd
+
+    from knowledgegraph__bh_ray.exporters.rdf import nodes_edges_to_ttl_triples
+
+    mod, stub = ref_csv2ttl
+    concepts, relations = _write_ref_csvs(tmp_path)
+    g, id_to_uri = mod.concepts_to_ttl(str(concepts), _ONT, _DATA)
+    g = mod.relations_to_ttl(g, str(relations), id_to_uri, _ONT, _DATA)
+    ref = _ref_triples(g, stub)
+
+    nodes = pd.DataFrame(
+        {
+            "id": ["c1", "c2", "i1", "i2", "c3"],
+            "name": ["机器学习", "监督学习", "张三", "李四", "空类型"],
+            "type": ["概念", "类别", "人物", "人物", ""],
+            "parent": ["", "c1", "c1", "i1", "c2"],
+            "props_json": ['{"描述": "ML "}', '{"level of:thing": "3"}',
+                           '{"描述": "一个人"}', "{}", "{}"],
+        }
+    )
+    edges = pd.DataFrame(
+        {
+            "subj": ["c1", "i1", "c1", "c1", "c2"],
+            "pred": ["包含", "认识 的", "包含", "包含", "描述"],
+            "obj": ["c2", "i2", "i1", "zz", "c1"],
+        }
+    )
+    eng = set(nodes_edges_to_ttl_triples(nodes, edges, _ONT, _DATA))
+    assert eng == ref
+
+
+def test_ttl_text_serializes_its_own_triples(tmp_path):
+    """The TTL text and the triple list come from one emitter — every
+    triple must be recoverable from the text's qname lines (guards the
+    writer against drifting from the differential-tested semantics)."""
+    import pandas as pd
+
+    from knowledgegraph__bh_ray.exporters.rdf import (
+        nodes_edges_to_ttl, nodes_edges_to_ttl_triples)
+
+    nodes = pd.DataFrame(
+        {"id": ["a", "b"], "name": ["机器学习", "张三"],
+         "type": ["概念", "人物"], "parent": ["", "a"],
+         "props_json": ['{"描述": "x"}', "{}"]}
+    )
+    edges = pd.DataFrame({"subj": ["a"], "pred": ["包含"], "obj": ["b"]})
+    text = nodes_edges_to_ttl(nodes, edges, _ONT, _DATA)
+    triples = nodes_edges_to_ttl_triples(nodes, edges, _ONT, _DATA)
+    # spot checks: every subject/predicate localname appears in the text
+    assert f"ont:a a owl:Class ;" in text
+    assert f"data:b a owl:NamedIndividual ;" in text
+    assert "data:b a ont:a ." in text            # individual typed by class parent
+    assert "ont:描述 a owl:AnnotationProperty ;" in text
+    assert "ont:包含 a owl:ObjectProperty ;" in text
+    assert len(triples) == sum(
+        1 for ln in text.splitlines()
+        if ln.strip() and not ln.startswith("@prefix")
+        and (ln.endswith(" .") or ln.endswith(" ;"))
+    ) - 0  # one line per statement ("a X ;" + label line are two statements)
