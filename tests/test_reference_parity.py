@@ -554,3 +554,99 @@ def test_ttl_text_serializes_its_own_triples(tmp_path):
         if ln.strip() and not ln.startswith("@prefix")
         and (ln.endswith(" .") or ln.endswith(" ;"))
     ) - 0  # one line per statement ("a X ;" + label line are two statements)
+
+
+# ---------------------------------------------------------------------------
+# embedding_generator differential: engine phrase assembly ≡ the reference,
+# fed the engine's OWN Neo4j-layout CSVs, sharing one deterministic encoder
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ref_embgen():
+    """OVERRIDES any existing sentence_transformers entry (ref_rag's
+    module-scoped dummy may still be installed) and restores it after —
+    generate_embeddings imports the module lazily at call time, so the
+    entry present DURING THE TEST is the one that matters."""
+    from knowledgegraph__bh_ray.stages.embed import fake_encode
+
+    stub = types.ModuleType("sentence_transformers")
+
+    class SentenceTransformer:
+        def __init__(self, name):
+            self.name = name
+
+        def encode(self, texts):
+            return fake_encode(list(texts))
+
+    stub.SentenceTransformer = SentenceTransformer
+    prev = sys.modules.get("sentence_transformers")
+    sys.modules["sentence_transformers"] = stub
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "_ref_embgen", os.path.join(REF, "embedding_generator.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        yield mod
+    finally:
+        if prev is None:
+            sys.modules.pop("sentence_transformers", None)
+        else:
+            sys.modules["sentence_transformers"] = prev
+
+
+def test_embedding_generator_differential(ref_embgen, tmp_path):
+    """End-to-end: engine-exported concepts/relations CSVs (md2csv layout)
+    → the reference's generate_embeddings (encoder stubbed with the
+    engine's own deterministic fake) → per-name / per-phrase vectors must
+    equal the engine's encode of its nodes and relation phrases — pinning
+    the '_o_source_ :TYPE _o_target_' phrase-assembly rule
+    (embedding_generator.py:55) and the name-column contract."""
+    import ast
+    from pathlib import Path
+
+    import numpy as np
+    import pandas as pd
+
+    from knowledgegraph__bh_ray.exporters.neo4j_csv import (
+        edges_to_neo4j_csv, nodes_to_neo4j_csv)
+    from knowledgegraph__bh_ray.functions.hashing import md5_id
+    from knowledgegraph__bh_ray.stages.embed import fake_encode
+
+    nodes = pd.DataFrame(
+        {
+            "id": [md5_id("机器学习"), md5_id("监督学习")],
+            "name": ["机器学习", "监督学习"],
+            "type": ["概念", "类别"],
+            "parent": ["", md5_id("机器学习")],
+            "props_json": ["{}", "{}"],
+        }
+    )
+    edges = pd.DataFrame(
+        {
+            "subj": [md5_id("机器学习")],
+            "pred": ["包含"],
+            "obj": [md5_id("监督学习")],
+            "subj_name": ["机器学习"],
+            "obj_name": ["监督学习"],
+            "props_json": ["{}"],
+        }
+    )
+    cpath, rpath = tmp_path / "concepts.csv", tmp_path / "relations.csv"
+    cpath.write_text(nodes_to_neo4j_csv(nodes), encoding="utf-8")
+    rpath.write_text(edges_to_neo4j_csv(edges), encoding="utf-8")
+
+    out = tmp_path / "out"
+    ref_embgen.generate_embeddings(Path(cpath), Path(rpath), Path(out), "kg")
+
+    ref_c = pd.read_csv(out / "kg_concepts_embeddings.csv")
+    assert ref_c["concept_name"].tolist() == nodes["name"].tolist()
+    got_c = np.array([ast.literal_eval(e) for e in ref_c["embedding"]], dtype=np.float32)
+    assert (got_c == fake_encode(nodes["name"].tolist())).all()
+
+    ref_r = pd.read_csv(out / "kg_relations_embeddings.csv")
+    phrases = [f"{r.subj_name} {r.pred} {r.obj_name}" for r in edges.itertuples()]
+    assert ref_r["relation_phrase"].tolist() == phrases  # engine rule ≡ reference rule
+    got_r = np.array([ast.literal_eval(e) for e in ref_r["embedding"]], dtype=np.float32)
+    assert (got_r == fake_encode(phrases)).all()
