@@ -143,6 +143,7 @@ def run_bench() -> dict:
     timed("events_running_total", lambda: relational.events_running_total_ds(SF_DIR).count())
     timed("events_lag", lambda: relational.events_lag_ds(SF_DIR).count())
     timed("source_cap", lambda: textops.source_cap_ds(SF_DIR).count())
+    timed("mix_corpora", lambda: textops.mix_corpora_ds(SF_DIR).count())
     timed("profile_documents", lambda: textops.profile_documents_ds(SF_DIR).count())
     timed("quality_filter", lambda: textops.quality_filter_ds(SF_DIR).count())
 
