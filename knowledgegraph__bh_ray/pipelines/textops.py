@@ -24,7 +24,9 @@ import numpy as np
 import pandas as pd
 import ray
 
-from ..functions.hashing import min_k_sketch, rolling_fingerprints
+from ..functions.hashing import (min_k_sketch, rolling_fingerprints,
+                                 seeded_md5_digests, seeded_md5_sortkey,
+                                 seeded_md5_u32)
 from ..sources import read_table
 
 # keep in sync with the SQL mirrors (oracle_sql in __ray_entry__)
@@ -825,14 +827,18 @@ def shuffle_shard_ds(sf_dir: str, n_shards: int = 16, seed: str = "s0"):
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
 
     def _key(batch: pd.DataFrame) -> pd.DataFrame:
-        k = batch["doc_id"].map(
-            lambda i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
-        )
-        shard = k.str[:4].map(lambda h: int(h, 16)).astype("int64") % n_shards
+        ids = batch["doc_id"].to_numpy(dtype="int64")
+        dig = seeded_md5_digests(seed, ids)
+        # first 4 hex chars == first 2 digest bytes big-endian; rank key =
+        # raw digest bytes (order ≡ hexdigest order — see seeded_md5_sortkey)
+        shard = (
+            (dig[:, 0].astype("int64") << 8) | dig[:, 1].astype("int64")
+        ) % n_shards if len(ids) else np.empty(0, dtype="int64")
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"].astype("int64"),
-                "k": k,
+                "doc_id": ids,
+                "k": dig.reshape(-1).view("S16") if len(ids) else
+                     np.empty(0, dtype="S16"),
                 "shard_id": shard,
                 PART_COL: shard,
             }
@@ -883,9 +889,10 @@ def sample_weighted_ds(sf_dir: str, cap: int = 64, seed: str = "w1"):
         n_tokens = np.where(
             t == "", 0, t.str.split(RE_WS).map(len)
         ).astype("int64")
-        u32 = batch["doc_id"].map(
-            lambda i: int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
-        ).astype("int64")
+        u32 = pd.Series(
+            seeded_md5_u32(seed, batch["doc_id"].to_numpy(dtype="int64")),
+            index=batch.index,
+        )
         w_num = np.minimum(n_tokens, cap)
         keep = u32.to_numpy() * cap < w_num * (1 << 32)
         return pd.DataFrame(
@@ -925,8 +932,10 @@ def source_cap_ds(sf_dir: str, cap: int = 15, seed: str = "s0"):
             {
                 "doc_id": batch["doc_id"].astype("int64"),
                 "source": batch["source"],
-                "k": batch["doc_id"].map(
-                    lambda i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+                # raw digest bytes: rank-order ≡ the mirror's hexdigest rank
+                "k": pd.Series(
+                    seeded_md5_sortkey(seed, batch["doc_id"].to_numpy(dtype="int64")),
+                    index=batch.index,
                 ),
             }
         )
@@ -1354,8 +1363,10 @@ def mix_corpora_ds(sf_dir: str, seed: str = "m0"):
             {
                 "doc_id": batch["doc_id"].astype("int64"),
                 "source": batch["source"],
-                "k": batch["doc_id"].map(
-                    lambda i: hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+                # raw digest bytes: rank-order ≡ the mirror's hexdigest rank
+                "k": pd.Series(
+                    seeded_md5_sortkey(seed, batch["doc_id"].to_numpy(dtype="int64")),
+                    index=batch.index,
                 ),
             }
         )
