@@ -371,3 +371,155 @@ def train_perceptron(params: CRFParams, texts: list[str], gold: list[list[str]],
             best_f1, best = f1, _snapshot()
     _restore(best)  # serve the best checkpoint, like the reference
     return {"history": history, "best_f1": best_f1, "best": best}
+
+
+# ---------------------------------------------------------------------------
+# CRF negative-log-likelihood training — the reference's actual objective
+# (bilstm_crf_ner.py:463-478 neg_log_likelihood, :509-535 Adam epoch loop,
+# :799-803 save-best-by-F1), gradients derived by hand via forward-backward
+# ---------------------------------------------------------------------------
+
+
+def _logsumexp(x: np.ndarray, axis: int) -> np.ndarray:
+    m = x.max(axis=axis, keepdims=True)
+    return (m + np.log(np.exp(x - m).sum(axis=axis, keepdims=True))).squeeze(axis)
+
+
+def crf_nll(params: CRFParams, h: np.ndarray, g: np.ndarray) -> float:
+    """NLL of ONE sentence: log Z − score(gold).  ``h`` is the (T, H)
+    BiLSTM feature matrix, ``g`` the (T,) gold label indices.  Loss only —
+    the finite-difference gradient check in tests/test_crf.py drives this."""
+    e = h @ params.w_tag.T + params.b_tag  # (T, L)
+    T = len(g)
+    alpha = params.start_trans + e[0]
+    for t in range(1, T):
+        alpha = _logsumexp(alpha[:, None] + params.transitions, axis=0) + e[t]
+    log_z = float(_logsumexp(alpha + params.end_trans, axis=0))
+    gold = float(params.start_trans[g[0]] + e[np.arange(T), g].sum()
+                 + params.transitions[g[:-1], g[1:]].sum()
+                 + params.end_trans[g[-1]])
+    return log_z - gold
+
+
+def _crf_nll_grads(params: CRFParams, h: np.ndarray, g: np.ndarray):
+    """Loss + analytic gradients of ONE sentence's NLL w.r.t. the CRF head
+    (w_tag, b_tag, transitions, start_trans, end_trans).
+
+    Standard linear-chain CRF calculus via forward-backward marginals:
+      ∂L/∂e_t        = P(y_t | x) − 1[gold_t]          (unary marginals)
+      ∂L/∂trans[i,j] = Σ_t P(y_{t-1}=i, y_t=j | x) − #gold bigrams (i,j)
+      ∂L/∂start      = P(y_0) − 1[g_0];  ∂L/∂end = P(y_{T-1}) − 1[g_{T-1}]
+    then chain ∂e into the linear head: ∂W = (∂e)ᵀ h, ∂b = Σ_t ∂e_t.
+    Transitions are indexed [prev, cur] throughout (the engine's — and the
+    reference decode's — orientation)."""
+    e = h @ params.w_tag.T + params.b_tag  # (T, L)
+    T, L = e.shape
+    trans = params.transitions
+    # forward pass (log space)
+    alpha = np.empty((T, L))
+    alpha[0] = params.start_trans + e[0]
+    for t in range(1, T):
+        alpha[t] = _logsumexp(alpha[t - 1][:, None] + trans, axis=0) + e[t]
+    log_z = float(_logsumexp(alpha[T - 1] + params.end_trans, axis=0))
+    # backward pass
+    beta = np.empty((T, L))
+    beta[T - 1] = params.end_trans
+    for t in range(T - 2, -1, -1):
+        beta[t] = _logsumexp(trans + (e[t + 1] + beta[t + 1])[None, :], axis=1)
+    # marginals
+    unary = np.exp(alpha + beta - log_z)  # (T, L)
+    d_e = unary.copy()
+    d_e[np.arange(T), g] -= 1.0
+    d_trans = np.zeros_like(trans)
+    for t in range(1, T):
+        pair = np.exp(alpha[t - 1][:, None] + trans
+                      + (e[t] + beta[t])[None, :] - log_z)
+        d_trans += pair
+    if T > 1:
+        np.add.at(d_trans, (g[:-1], g[1:]), -1.0)
+    d_start = unary[0].copy()
+    d_start[g[0]] -= 1.0
+    d_end = unary[T - 1].copy()
+    d_end[g[T - 1]] -= 1.0
+    gold = float(params.start_trans[g[0]] + e[np.arange(T), g].sum()
+                 + trans[g[:-1], g[1:]].sum() + params.end_trans[g[-1]])
+    return (
+        log_z - gold,
+        {
+            "w_tag": d_e.T @ h,
+            "b_tag": d_e.sum(axis=0),
+            "transitions": d_trans,
+            "start_trans": d_start,
+            "end_trans": d_end,
+        },
+    )
+
+
+def train_nll(params: CRFParams, texts: list[str], gold: list[list[str]],
+              epochs: int = 30, lr: float = 0.05,
+              dev_texts: list[str] | None = None,
+              dev_gold: list[list[str]] | None = None) -> dict:
+    """CRF NLL training with Adam — objective-parity with the reference
+    (``neg_log_likelihood`` minimized by ``torch.optim.Adam``,
+    bilstm_crf_ner.py:509-535), save-best-by-F1 checkpointing
+    (:799-803), in numpy.  The BiLSTM stays a fixed feature extractor (no
+    torch in this environment) and the trainable surface is the CRF head:
+    emission linear layer + transition matrices — the same surface
+    ``train_perceptron`` trains, now under the reference's actual loss.
+
+    Full-batch Adam steps (the sample corpora are tiny; the reference's
+    minibatch mean over a DataLoader batch degenerates to the same thing),
+    loss = mean sentence NLL exactly like ``(forward − gold).mean()``.
+    Returns {'history': [dev-F1/epoch], 'losses': [mean NLL/epoch],
+    'best_f1', 'best': snapshot} and leaves ``params`` at the best
+    checkpoint — deterministic end to end."""
+    lab_idx = {l: i for i, l in enumerate(params.labels)}
+    gold_idx = [np.array([lab_idx[l] for l in g], dtype=np.int64) for g in gold]
+    if dev_texts is None:
+        dev_texts, dev_gold = texts, gold
+
+    names = ("w_tag", "b_tag", "transitions", "start_trans", "end_trans")
+
+    def _get(n):
+        return getattr(params, n)
+
+    def _snapshot():
+        return {n: _get(n).copy() for n in names}
+
+    def _restore(s):
+        for n in names:
+            _get(n)[:] = s[n]
+
+    hid = [_hidden_single(t, params) for t in texts]  # BiLSTM frozen → cache
+    # Adam state
+    m = {n: np.zeros_like(_get(n)) for n in names}
+    v = {n: np.zeros_like(_get(n)) for n in names}
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    step = 0
+    history: list[float] = []
+    losses: list[float] = []
+    best_f1, best = -1.0, _snapshot()
+    for _ in range(epochs):
+        acc = {n: np.zeros_like(_get(n)) for n in names}
+        total = 0.0
+        for h, g in zip(hid, gold_idx):
+            loss, grads = _crf_nll_grads(params, h, g)
+            total += loss
+            for n in names:
+                acc[n] += grads[n]
+        losses.append(total / len(hid))
+        step += 1
+        for n in names:
+            gm = acc[n] / len(hid)  # mean over batch ≡ reference's .mean()
+            m[n] = b1 * m[n] + (1 - b1) * gm
+            v[n] = b2 * v[n] + (1 - b2) * gm * gm
+            mh = m[n] / (1 - b1**step)
+            vh = v[n] / (1 - b2**step)
+            _get(n)[:] = _get(n) - lr * mh / (np.sqrt(vh) + eps)
+        f1 = tag_accuracy(params, dev_texts, dev_gold)
+        history.append(f1)
+        if f1 > best_f1:
+            best_f1, best = f1, _snapshot()
+    _restore(best)  # serve the best checkpoint, like the reference
+    return {"history": history, "losses": losses, "best_f1": best_f1,
+            "best": best}

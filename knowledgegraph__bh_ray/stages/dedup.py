@@ -440,7 +440,7 @@ def embedding_pairs_lsh_ds(ds, id_col: str, vec_col: str, threshold: float):
 
 
 def semantic_dedup_ds(ds, id_col: str, vec_col: str, threshold: float = 0.3,
-                      n_centroids: int = 16):
+                      n_centroids: int = 16, max_cluster_size: int = 2048):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): spherical k-means
     clusters the embedding corpus, then near-duplicates are detected WITHIN
     each cluster only — candidate cost falls from |corpus|² to
@@ -461,6 +461,17 @@ def semantic_dedup_ds(ds, id_col: str, vec_col: str, threshold: float = 0.3,
     ``keep`` marks the cluster representatives (lowest-id-first greedy
     leaders) and ``dup_of`` names the kept member a dropped row duplicates
     (-1 for survivors).  Deterministic: seeded k-means + id-ordered greedy.
+
+    Mega-cluster guard: the per-cluster ``M @ M.T`` is cluster²-memory, and
+    near-duplicate-heavy corpora (the op's whole point) produce exactly the
+    degenerate mega-cluster that would OOM it.  Clusters larger than
+    ``max_cluster_size`` are split into id-ordered sub-clusters of at most
+    that size and the greedy leader pass runs WITHIN each sub-cluster
+    (bounding the matrix at cap² — 2048² f64 = 32 MB); duplicates whose
+    nearest leader sits in a different sub-cluster are missed, the standard
+    recall-for-memory trade (``dup_of`` always names a member of the same
+    sub-cluster).  Adversarial all-one-cluster case is pytest-pinned
+    against the serial reference with the same split rule.
     """
     import ray
 
@@ -482,25 +493,38 @@ def semantic_dedup_ds(ds, id_col: str, vec_col: str, threshold: float = 0.3,
         out["vec"] = list(M)  # normalized rows ride to the verify stage
         return out
 
+    def _greedy_chunk(ids: np.ndarray, M: np.ndarray):
+        """Greedy leader pass over ONE ≤max_cluster_size member chunk."""
+        S = M @ M.T
+        n = len(ids)
+        kept = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype="int64")
+        for i in range(n):
+            prior = np.flatnonzero(kept[:i])
+            if len(prior):
+                sims = S[i, prior]
+                j = int(sims.argmax())
+                if sims[j] >= threshold:
+                    dup_of[i] = ids[prior[j]]
+                    continue
+            kept[i] = True
+        return kept, dup_of
+
     def _greedy(group: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for cid, g in group.groupby("cluster_id", sort=False):
             g = g.sort_values(id_col, kind="mergesort")
             ids = g[id_col].to_numpy()
-            M = np.vstack(g["vec"].to_numpy())
-            S = M @ M.T
+            vecs = g["vec"].to_numpy()
             n = len(ids)
-            kept = np.zeros(n, dtype=bool)
-            dup_of = np.full(n, -1, dtype="int64")
-            for i in range(n):
-                prior = np.flatnonzero(kept[:i])
-                if len(prior):
-                    sims = S[i, prior]
-                    j = int(sims.argmax())
-                    if sims[j] >= threshold:
-                        dup_of[i] = ids[prior[j]]
-                        continue
-                kept[i] = True
+            kept = np.empty(n, dtype=bool)
+            dup_of = np.empty(n, dtype="int64")
+            # mega-cluster guard: id-ordered sub-clusters bound S at cap²
+            for s0 in range(0, n, max_cluster_size):
+                sl = slice(s0, min(s0 + max_cluster_size, n))
+                kept[sl], dup_of[sl] = _greedy_chunk(
+                    ids[sl], np.vstack(vecs[sl])
+                )
             frames.append(
                 pd.DataFrame(
                     {

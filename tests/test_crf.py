@@ -147,3 +147,74 @@ def test_perceptron_training_deterministic():
     assert r1["history"] == r2["history"]
     import numpy as np
     assert np.array_equal(r1["best"]["w_tag"], r2["best"]["w_tag"])
+
+
+def test_nll_gradients_match_finite_difference():
+    """Analytic forward-backward gradients of the sentence NLL vs central
+    finite differences on every CRF-head parameter (the verdict-#6 gate:
+    the NLL gradient is hand-derived, so check it numerically)."""
+    from knowledgegraph__bh_ray.stages.crf import (CRFParams, _crf_nll_grads,
+                                                   _hidden_single, crf_nll)
+
+    params = CRFParams(seed=3)
+    text = "实体A在北京"
+    g = np.array([1, 2, 3, 0, 1], dtype=np.int64)  # B I E O B over 5 chars
+    h = _hidden_single(text[: len(g)], params)
+    loss, grads = _crf_nll_grads(params, h, g)
+    assert np.isclose(loss, crf_nll(params, h, g))
+
+    eps = 1e-6
+    rng = np.random.default_rng(0)
+    for name in ("w_tag", "b_tag", "transitions", "start_trans", "end_trans"):
+        arr = getattr(params, name)
+        flat = arr.reshape(-1)
+        # probe a handful of random coordinates per tensor
+        for idx in rng.choice(flat.size, size=min(12, flat.size), replace=False):
+            orig = flat[idx]
+            flat[idx] = orig + eps
+            up = crf_nll(params, h, g)
+            flat[idx] = orig - eps
+            dn = crf_nll(params, h, g)
+            flat[idx] = orig
+            num = (up - dn) / (2 * eps)
+            ana = grads[name].reshape(-1)[idx]
+            assert np.isclose(num, ana, rtol=1e-4, atol=1e-6), (name, idx, num, ana)
+
+
+def test_nll_training_improves_f1_and_reduces_loss():
+    """Objective-parity with the reference trainer (NLL + Adam +
+    save-best-by-F1, bilstm_crf_ner.py:509-535, 799-803): on the 4-sentence
+    sample the mean NLL must fall and tag F1 must beat the untrained
+    seeded weights, with the served params being the best checkpoint."""
+    from knowledgegraph__bh_ray.stages.crf import (CRFParams, tag_accuracy,
+                                                   train_nll)
+
+    texts = ["实体A在北京", "实体B在上海", "南京是城市", "他去了广州"]
+    gold = [
+        ["B-CONCEPT", "I-CONCEPT", "E-CONCEPT", "O", "B-CONCEPT", "E-CONCEPT"],
+        ["B-CONCEPT", "I-CONCEPT", "E-CONCEPT", "O", "B-CONCEPT", "E-CONCEPT"],
+        ["B-CONCEPT", "E-CONCEPT", "O", "B-CONCEPT", "E-CONCEPT"],
+        ["O", "O", "O", "B-CONCEPT", "E-CONCEPT"],
+    ]
+    params = CRFParams()
+    before = tag_accuracy(params, texts, gold)
+    res = train_nll(params, texts, gold, epochs=25, lr=0.05)
+    after = tag_accuracy(params, texts, gold)
+    assert res["losses"][-1] < res["losses"][0]  # NLL decreases
+    assert after > before                        # F1 improves
+    assert res["best_f1"] == after               # served = best checkpoint
+    assert len(res["history"]) == len(res["losses"]) == 25
+
+
+def test_nll_training_deterministic():
+    from knowledgegraph__bh_ray.stages.crf import CRFParams, train_nll
+
+    texts = ["实体A在北京", "南京是城市"]
+    gold = [
+        ["B-CONCEPT", "I-CONCEPT", "E-CONCEPT", "O", "B-CONCEPT", "E-CONCEPT"],
+        ["B-CONCEPT", "E-CONCEPT", "O", "B-CONCEPT", "E-CONCEPT"],
+    ]
+    r1 = train_nll(CRFParams(), texts, gold, epochs=5)
+    r2 = train_nll(CRFParams(), texts, gold, epochs=5)
+    assert r1["losses"] == r2["losses"] and r1["history"] == r2["history"]
+    assert np.array_equal(r1["best"]["w_tag"], r2["best"]["w_tag"])

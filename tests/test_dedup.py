@@ -311,11 +311,12 @@ def test_inverted_index_postings(ray_session, tmp_path):
     assert got4.equals(got)
 
 
-def _serial_semdedup(ids, vecs, threshold, n_centroids):
+def _serial_semdedup(ids, vecs, threshold, n_centroids, max_cluster_size=10**9):
     """Independent scalar-loop reference for semantic_dedup_ds: same
     deterministic spec (md5-ranked sample, spherical k-means w/ seeded
-    init + empty-cluster carry, id-ordered greedy leader), implemented
-    with plain Python loops instead of the engine's batched kernels."""
+    init + empty-cluster carry, id-ordered greedy leader, id-ordered
+    sub-cluster split above max_cluster_size), implemented with plain
+    Python loops instead of the engine's batched kernels."""
     import hashlib
 
     def norm(v):
@@ -340,19 +341,21 @@ def _serial_semdedup(ids, vecs, threshold, n_centroids):
         clusters.setdefault(cid, []).append(i)
     for cid, members in clusters.items():
         members = sorted(members, key=lambda i: ids[i])
-        kept: list[int] = []
-        for i in members:
-            v = norm(vecs[i].astype(np.float64))
-            best, best_sim = -1, -2.0
-            for k in kept:
-                s = float(v @ norm(vecs[k].astype(np.float64)))
-                if s > best_sim:
-                    best, best_sim = k, s
-            if kept and best_sim >= threshold:
-                out[ids[i]] = (cid, False, ids[best])
-            else:
-                kept.append(i)
-                out[ids[i]] = (cid, True, -1)
+        for c0 in range(0, len(members), max_cluster_size):
+            chunk = members[c0 : c0 + max_cluster_size]
+            kept: list[int] = []
+            for i in chunk:
+                v = norm(vecs[i].astype(np.float64))
+                best, best_sim = -1, -2.0
+                for k in kept:
+                    s = float(v @ norm(vecs[k].astype(np.float64)))
+                    if s > best_sim:
+                        best, best_sim = k, s
+                if kept and best_sim >= threshold:
+                    out[ids[i]] = (cid, False, ids[best])
+                else:
+                    kept.append(i)
+                    out[ids[i]] = (cid, True, -1)
     return out
 
 
@@ -383,6 +386,42 @@ def test_semantic_dedup_matches_serial_reference(ray_session):
     for i in range(12, 17):
         row = got[got["vec_id"] == i].iloc[0]
         assert not row["keep"] and row["dup_of"] == i - 12
+
+
+def test_semantic_dedup_mega_cluster_guard(ray_session):
+    """Adversarial all-one-cluster corpus (every vector a tiny perturbation
+    of one base — the dedup-heavy case SemDeDup exists for): with
+    n_centroids=1 the whole corpus lands in ONE cluster; max_cluster_size
+    must bound the pairwise matrix by splitting into id-ordered
+    sub-clusters, each electing its own leader, with dup_of always naming
+    a same-sub-cluster member.  Output ≡ serial reference with the same
+    split rule."""
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(16)
+    vecs = (base[None, :] + rng.standard_normal((40, 16)) * 1e-3).astype(np.float32)
+    ids = np.arange(40, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": list(vecs)}))
+
+    got = (
+        dedup.semantic_dedup_ds(ds, "vec_id", "embedding", threshold=0.9,
+                                n_centroids=1, max_cluster_size=8)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 40  # every row gets a verdict
+    assert got["cluster_id"].nunique() == 1
+    ref = _serial_semdedup(ids.tolist(), [v for v in vecs], 0.9, 1,
+                           max_cluster_size=8)
+    for _, r in got.iterrows():
+        cid, keep, dup_of = ref[int(r["vec_id"])]
+        assert (int(r["cluster_id"]), bool(r["keep"]), int(r["dup_of"])) == (
+            cid, keep, dup_of), r
+    # one leader per 8-member sub-cluster: ids 0,8,16,24,32 survive, and
+    # every dropped row names the leader of ITS OWN sub-cluster
+    assert sorted(got[got["keep"]]["vec_id"]) == [0, 8, 16, 24, 32]
+    dropped = got[~got["keep"]]
+    assert (dropped["dup_of"] == (dropped["vec_id"] // 8) * 8).all()
 
 
 def test_semantic_dedup_deterministic(ray_session):
