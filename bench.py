@@ -100,12 +100,21 @@ def run_bench() -> dict:
         .sum()
     )
 
+    # secondaries use the same best-of-2 policy as the headline (±40%
+    # co-tenant noise on this shared box); both raw samples are recorded in
+    # queries_raw so inflation is visible, the min is the capability number
+    queries_raw: dict[str, list[float]] = {}
+
     def timed(name, fn):
         if HEADLINE_ONLY:
             return
-        t = time.time()
-        fn()
-        queries[name] = round(time.time() - t, 3)
+        samples = []
+        for _ in range(2):
+            t = time.time()
+            fn()
+            samples.append(round(time.time() - t, 3))
+        queries_raw[name] = samples
+        queries[name] = min(samples)
 
     timed("kg_extract", lambda: kg.extracted_ds(pages).count())
     if not HEADLINE_ONLY:
@@ -200,6 +209,7 @@ def run_bench() -> dict:
         "pages_per_sec": round(n_pages / headline, 1),
         "triples_per_sec": round(n_triples / headline, 1),
         "headline_runs_sec": [round(r, 3) for r in runs],
+        "queries_raw": queries_raw,
     }
 
 

@@ -890,6 +890,30 @@ def q_quality_filter(sf_dir: str):
     return textops.quality_filter_ds(sf_dir)
 
 
+SUBSTRING_K = 8  # shared with the SQL mirror
+
+
+def q_dedup_substring(sf_dir: str):
+    """Exact-substring span dedup (Lee et al. 2021 positional-k-gram
+    flavor): per-doc maximal spans of tokens covered by k-grams occurring
+    ≥2 times anywhere in the corpus (within- OR cross-doc) — one gram-key
+    exchange (local ≥2 verdict), one doc-key exchange (gaps-and-islands
+    span merge)."""
+    from .pipelines.traintext import substring_spans_ds
+
+    return substring_spans_ds(sf_dir, k=SUBSTRING_K)
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer-training merge table (Sennrich 2016): one corpus-scale
+    word-count shuffle, then the iterative merge loop over the word-TYPE
+    table only.  Non-SQL (iterative argmax); truth = serial classic-BPE
+    reference in tests/test_traintext.py."""
+    from .pipelines.traintext import bpe_merges_ds
+
+    return bpe_merges_ds(sf_dir, n_merges=30)
+
+
 # Ordering contract: every query with a DuckDB mirror in build_oracle_sql()
 # comes BEFORE the no-oracle ones, so a driver that caps the number of
 # checked queries (~50 per round) still oracle-verifies every mirror.
@@ -942,7 +966,8 @@ QUERIES = {
     "profile_documents": q_profile_documents,
     "distinct_users_by_type": q_distinct_users_by_type,
     "top_anchor_texts": q_top_anchor_texts,
-    "sample_stratified": q_sample_stratified,
+    # new this round — first driver row:
+    "dedup_substring": q_dedup_substring,
     "simsearch_topk": q_simsearch_topk,
     "export_graph": q_export_graph,
     "media_features": q_media_features,
@@ -960,11 +985,16 @@ QUERIES = {
     # --- SQL-mirrored but BEYOND the ~50-row cap THIS round.  All 21 are
     # hash-green in CORRECTNESS_r03.json on code unchanged since (checked:
     # none of this round's edits touch their pipelines), so after this
-    # round every one of the 71 mirrors has a row ≤1 round old.  20 are
+    # round every one of the 72 mirrors has a row ≤1 round old.  20 are
     # the twice-proven r2∩r3 greens; bigram_top is the +1 — its n-gram
     # partial-agg machinery is exercised verbatim by the in-cap
-    # dup_passage and tfidf path.  All still run in tools/check_driver.py
-    # and pytest every session.  Next round: rotate these 21 back in.
+    # dup_passage and tfidf path — and sample_stratified the +2 (r3-green;
+    # displaced to make room for the NEW dedup_substring mirror above;
+    # its seeded-rank machinery is the same family as the in-cap
+    # source_cap / sample_weighted / shuffle_shard).  All still run in
+    # tools/check_driver.py and pytest every session.  Next round: rotate
+    # these 22 back in.
+    "sample_stratified": q_sample_stratified,
     "kg_extract": q_kg_extract,
     "kg_links": q_kg_links,
     "kg_triples_raw": q_kg_triples_raw,
@@ -986,7 +1016,8 @@ QUERIES = {
     "events_hopping_window": q_events_hopping_window,
     "tfidf_terms": q_tfidf_terms,
     "bigram_top": q_bigram_top,
-    # --- no_oracle, never driver-checked before round 3 ---
+    # --- no_oracle, never driver-checked (newest first) ---
+    "bpe_merges": q_bpe_merges,
     "dedup_semantic": q_dedup_semantic,
     "simsearch_lsh": q_simsearch_lsh,
     "simsearch_ivf": q_simsearch_ivf,
@@ -1142,6 +1173,58 @@ _NODES_DEDUP = f"""
     SELECT substr(md5(name), 1, 8) AS id, arg_min(name, seq) AS name
     FROM read_parquet('{{g}}/nodes_raw.parquet') GROUP BY 1
 """
+
+
+def substring_sql(k: int, source: str = "documents") -> str:
+    """DuckDB mirror of ``substring_spans_ds`` for gram length ``k`` —
+    shared by the oracle registry (k = SUBSTRING_K) and the unit tests
+    (smaller k over planted fixtures).  The gaps-and-islands window rule is
+    byte-identical to the engine's: a new span starts iff
+    ``pos > max(previous pos) + k`` (adjacent coverage merges)."""
+    return f"""
+        WITH arrs AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+            FROM {source} WHERE trim(text) != ''
+        ),
+        toks AS (
+            SELECT doc_id, len(arr)::BIGINT AS n_tokens FROM arrs
+            UNION ALL
+            SELECT doc_id, 0::BIGINT FROM {source} WHERE trim(text) = ''
+        ),
+        grams AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   array_to_string(arr[pos:pos + {k - 1}], ' ') AS gram
+            FROM (SELECT doc_id, arr,
+                         unnest(range(1, len(arr) - {k - 2})) AS pos
+                  FROM arrs WHERE len(arr) >= {k})
+        ),
+        dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        dpos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(max(pos) OVER w, -{2 * k}) + {k}
+                        THEN 1 ELSE 0 END AS brk
+            FROM dpos
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        isl2 AS (SELECT doc_id, pos,
+                        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM isl),
+        spans AS (SELECT doc_id, island,
+                         (max(pos) - min(pos) + {k})::BIGINT AS span_len
+                  FROM isl2 GROUP BY 1, 2),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+                       sum(span_len)::BIGINT AS dup_tokens
+                FROM spans GROUP BY 1)
+        SELECT t.doc_id, t.n_tokens,
+               coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+               coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+               (CASE WHEN t.n_tokens > 0
+                     THEN coalesce(a.dup_tokens, 0) * 1000000 // t.n_tokens
+                     ELSE 0 END)::BIGINT AS dup_frac_micros
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """
 
 
 def build_oracle_sql() -> dict[str, str]:
@@ -1581,6 +1664,7 @@ def build_oracle_sql() -> dict[str, str]:
                    (n_all.n_lines - coalesce(agg.n_kept, 0))::BIGINT AS n_removed
             FROM ex JOIN n_all USING (url) LEFT JOIN agg USING (url)
         """,
+        "dedup_substring": substring_sql(SUBSTRING_K),
         "dup_passage": """
             WITH arrs AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr

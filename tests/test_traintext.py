@@ -1,0 +1,177 @@
+"""Gates for the corpus-scale training-text ops (pipelines/traintext.py):
+exact-substring span dedup (vs the shared DuckDB mirror SQL on planted
+fixtures + hash-mode equivalence) and BPE merge training (vs an
+independent serial classic-BPE reference)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from knowledgegraph__bh_ray.pipelines.traintext import (
+    END_MARK,
+    bpe_merges_ds,
+    substring_spans_ds,
+)
+
+
+def _write_docs(tmp_path, texts):
+    docs = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": texts,
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+FIXTURE = [
+    # docs 0/1 share the 6-token passage "the quick brown fox jumps high"
+    "intro words here the quick brown fox jumps high and more trailing text",
+    "the quick brown fox jumps high closing words",
+    # doc 2 repeats its own 4-token passage twice (WITHIN-doc dup)
+    "alpha beta gamma delta filler one two alpha beta gamma delta end",
+    # doc 3: unique text, no dups
+    "completely unique sentence with distinct vocabulary only",
+    # doc 4: shorter than k tokens
+    "tiny doc",
+    # doc 5: empty
+    "   ",
+    # doc 6: ADJACENT duplicated passages must merge into one span
+    "alpha beta gamma delta alpha beta gamma delta tail",
+]
+
+
+def test_substring_spans_matches_oracle(ray_session, tmp_path):
+    import duckdb
+
+    from knowledgegraph__bh_ray.queries import substring_sql
+
+    k = 4
+    sf = _write_docs(tmp_path, FIXTURE)
+    got = (
+        substring_spans_ds(sf, k=k)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sql = substring_sql(k=k).replace(
+        "FROM documents", f"FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = duckdb.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(FIXTURE)
+    for col in ("doc_id", "n_tokens", "dup_tokens", "n_spans", "dup_frac_micros"):
+        assert list(got[col].astype("int64")) == list(want[col].astype("int64")), col
+    by = got.set_index("doc_id")
+    # cross-doc 6-token passage → k-gram chain covers 6 tokens in both docs
+    assert by.loc[0, "dup_tokens"] == 6 and by.loc[0, "n_spans"] == 1
+    assert by.loc[1, "dup_tokens"] == 6 and by.loc[1, "n_spans"] == 1
+    # WITHIN-doc repeat is a dup here (unlike dup_passage's cross-doc df)
+    assert by.loc[2, "dup_tokens"] == 8 and by.loc[2, "n_spans"] == 2
+    assert by.loc[3, "dup_tokens"] == 0 and by.loc[3, "n_spans"] == 0
+    assert by.loc[4, "n_tokens"] == 2 and by.loc[4, "dup_tokens"] == 0
+    assert by.loc[5, "n_tokens"] == 0 and by.loc[5, "dup_frac_micros"] == 0
+    # adjacent repeats merge into ONE maximal span of 8 tokens
+    assert by.loc[6, "dup_tokens"] == 8 and by.loc[6, "n_spans"] == 1
+
+
+def test_substring_hash_mode_equivalent(ray_session, tmp_path):
+    """hash_grams=True (the 100-TB shuffle layout) must reproduce the
+    string-exact output on a real corpus slice."""
+    sf = "/root/testdata/sf0.001"
+    a = (substring_spans_ds(sf, k=8).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (substring_spans_ds(sf, k=8, hash_grams=True).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_substring_partition_invariance(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, FIXTURE * 3)
+    outs = []
+    for parts in (2, 7):
+        outs.append(
+            substring_spans_ds(sf, k=4, num_parts=parts)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    # doc_ids collide across the replicated fixture — rebuild unique ids
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+
+def serial_bpe(word_counts: dict[str, int], n_merges: int):
+    """Independent classic-BPE reference (Sennrich alg. 1): dict loops,
+    most-frequent pair per round, lexicographic tie-break, stop below 2."""
+    types = {tuple(list(w) + [END_MARK]): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        for syms, c in types.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        pc = Counter({p: c for p, c in pc.items() if c >= 2})
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        new_types = {}
+        for syms, c in types.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_types[tuple(out)] = new_types.get(tuple(out), 0) + c
+        types = new_types
+    return merges
+
+
+def test_bpe_matches_serial_reference(ray_session, tmp_path):
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "low lower newest widest wide wide wide",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = bpe_merges_ds(sf, n_merges=12).to_pandas().sort_values("rank")
+    wc = Counter(w for t in texts for w in t.split())
+    want = serial_bpe(dict(wc), 12)
+    assert len(got) == len(want)
+    for row, (rank, left, right, merged, cnt) in zip(got.itertuples(), want):
+        assert (row.rank, row.left, row.right, row.merged, row.cnt) == (
+            rank, left, right, merged, cnt)
+
+
+def test_bpe_early_stop_empty(ray_session, tmp_path):
+    # every word occurs once and shares no adjacent pair with any other →
+    # all pair counts are 1 → zero merges, typed empty output
+    sf = _write_docs(tmp_path, ["ab cd", "ef gh"])
+    ds = bpe_merges_ds(sf, n_merges=5)
+    # Ray's to_pandas() drops columns on empty datasets; the schema is the
+    # contract here
+    assert ds.schema().names == ["rank", "left", "right", "merged", "cnt"]
+    assert ds.count() == 0
+
+
+def test_bpe_deterministic(ray_session, tmp_path):
+    texts = ["pack my box with five dozen liquor jugs " * 2,
+             "sphinx of black quartz judge my vow"]
+    sf = _write_docs(tmp_path, texts)
+    a = bpe_merges_ds(sf, n_merges=8).to_pandas()
+    b = bpe_merges_ds(sf, n_merges=8).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
