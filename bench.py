@@ -175,9 +175,12 @@ def run_bench() -> dict:
     timed("kg_kcore_dist", lambda: _kcore(0))
 
     def _nsim():
+        from knowledgegraph__bh_ray.queries import NSIM_MAX_MIDDLE_DEGREE
         from knowledgegraph__bh_ray.stages.pagerank import node_similarity_ds
 
-        node_similarity_ds(kg.page_graph_edges_ds(pages)).count()
+        # same stop-hub default as the registry entry
+        node_similarity_ds(kg.page_graph_edges_ds(pages),
+                           max_middle_degree=NSIM_MAX_MIDDLE_DEGREE).count()
 
     timed("kg_node_similarity", _nsim)
 

@@ -482,7 +482,8 @@ def k_core_ds(edges_ds, k: int = 4, src: str = "src_url", dst: str = "dst_url",
 
 
 def node_similarity_ds(edges_ds, src: str = "src_url", dst: str = "dst_url",
-                       num_parts: int = 8, max_middle_degree: int | None = None):
+                       num_parts: int = 8, max_middle_degree: int | None = None,
+                       deg_broadcast_threshold: int = 2_000_000):
     """Common-neighbor Jaccard node similarity — the classic
     link-prediction / related-item feature: every node pair (a < b) that
     shares ≥1 neighbor, scored ``|N(a)∩N(b)| / |N(a)∪N(b)|`` as exact
@@ -492,8 +493,16 @@ def node_similarity_ds(edges_ds, src: str = "src_url", dst: str = "dst_url",
     to (middle, neighbor) adjacency rows → ONE middle-hash shuffle → per-
     partition pair generation over each middle's sorted neighbor list
     (one ``triu_indices`` per distinct list size — the dedup bucket trick,
-    no per-middle Python) → pair-count aggregation → degrees attached by
-    two reduce-side lookups (no broadcast; the degree table is node-scale).
+    no per-middle Python) → pair-count aggregation → degree attach.
+
+    Degree attach is COUNTED DISPATCH (the kcore dead-shell rule): the
+    degree table is node-scale while the pair table is the largest
+    intermediate, so when ``count(degs) ≤ deg_broadcast_threshold`` the
+    degree map is ``ray.put`` once and both endpoint degrees attach in ONE
+    shuffle-free pass; above the threshold the original two reduce-side
+    lookups run (no broadcast — correct when even the node set is too big
+    for a worker heap).  Both paths are equality-pinned in
+    tests/test_pagerank.py.
 
     Unlike triangle counting, the hub blowup here is SEMANTIC: a middle of
     degree d really does witness d(d-1)/2 related pairs.  For web-scale
@@ -581,6 +590,49 @@ def node_similarity_ds(edges_ds, src: str = "src_url", dst: str = "dst_url",
     common = hash_partitioned_agg(pair_rows, ["node_a", "node_b"], _common_sum,
                                   num_parts=num_parts)
 
+    def _empty_scored() -> pd.DataFrame:
+        return pd.DataFrame({
+            c: pd.Series([], dtype=object if c in ("node_a", "node_b") else "int64")
+            for c in ("node_a", "node_b", "common", "deg_a", "deg_b",
+                      "jaccard_micros")
+        })
+
+    def _scored(d: pd.DataFrame, c, da, db) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node_a": d["node_a"],
+                "node_b": d["node_b"],
+                "common": c,
+                "deg_a": da,
+                "deg_b": db,
+                # floor division on positive ints ≡ the mirror's BIGINT //
+                "jaccard_micros": (np.asarray(c) * 1_000_000)
+                // (np.asarray(da) + np.asarray(db) - np.asarray(c)),
+            }
+        )
+
+    if degs.count() <= deg_broadcast_threshold:
+        import ray
+
+        dpd = degs.to_pandas()
+        lut_ref = ray.put(
+            pd.Series(dpd.get("deg", pd.Series(dtype="int64")).to_numpy("int64"),
+                      index=dpd.get("node", pd.Series(dtype=object)))
+        )
+
+        def _attach_score(d: pd.DataFrame) -> pd.DataFrame:
+            if "common" not in d.columns or not len(d):
+                return _empty_scored()
+            lut = ray.get(lut_ref)
+            return _scored(
+                d,
+                d["common"].astype("int64"),
+                d["node_a"].map(lut).astype("int64"),
+                d["node_b"].map(lut).astype("int64"),
+            )
+
+        return common.map_batches(_attach_score, batch_format="pandas")
+
     def _as_lut(col: str):
         def _f(d: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"node": d.get("node", pd.Series([], dtype=object)),
@@ -600,21 +652,8 @@ def node_similarity_ds(edges_ds, src: str = "src_url", dst: str = "dst_url",
 
     def _score(d: pd.DataFrame) -> pd.DataFrame:
         if "common" not in d.columns or not len(d):
-            return pd.DataFrame({c: pd.Series([], dtype="int64" if c != "node_a" and c != "node_b" else object)
-                                 for c in ("node_a", "node_b", "common", "deg_a", "deg_b", "jaccard_micros")})
-        c = d["common"].astype("int64")
-        da = d["deg_a"].astype("int64")
-        db = d["deg_b"].astype("int64")
-        return pd.DataFrame(
-            {
-                "node_a": d["node_a"],
-                "node_b": d["node_b"],
-                "common": c,
-                "deg_a": da,
-                "deg_b": db,
-                # floor division on positive ints ≡ the mirror's BIGINT //
-                "jaccard_micros": (c.to_numpy() * 1_000_000) // (da + db - c).to_numpy(),
-            }
-        )
+            return _empty_scored()
+        return _scored(d, d["common"].astype("int64"),
+                       d["deg_a"].astype("int64"), d["deg_b"].astype("int64"))
 
     return with_db.map_batches(_score, batch_format="pandas")

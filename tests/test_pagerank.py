@@ -165,3 +165,25 @@ def test_node_similarity_stop_hub_cap(ray_session):
         ("hub", "leaf01"), ("hub", "leaf00")}
     # degrees in the capped output stay TRUE degrees (cap affects middles only)
     assert (capped["deg_a"] == 40).all()
+
+
+def test_node_similarity_dispatch_equivalence(ray_session):
+    """Counted-dispatch gate: the broadcast degree attach (default — the
+    degree table is node-scale) and the reduce-side two-lookup fallback
+    (deg_broadcast_threshold=0, the too-many-nodes path) must produce
+    identical output, capped and uncapped."""
+    from knowledgegraph__bh_ray.stages.pagerank import node_similarity_ds
+
+    rng = np.random.default_rng(33)
+    n = 25
+    edges = list({(f"n{a:02d}", f"n{b:02d}")
+                  for a, b in rng.integers(0, n, size=(90, 2)) if a != b})
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src_url", "dst_url"]))
+    for cap in (None, 4):
+        a = (node_similarity_ds(ds, max_middle_degree=cap)
+             .to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True))
+        b = (node_similarity_ds(ds, max_middle_degree=cap,
+                                deg_broadcast_threshold=0)
+             .to_pandas().sort_values(["node_a", "node_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
