@@ -149,6 +149,13 @@ def run_bench() -> dict:
     timed("shuffle_shard", lambda: textops.shuffle_shard_ds(SF_DIR).count())
     timed("lm_perplexity", lambda: textops.lm_perplexity_ds(SF_DIR).count())
     timed("dup_passage", lambda: textops.dup_passage_ds(SF_DIR).count())
+
+    from knowledgegraph__bh_ray.pipelines import traintext
+
+    timed("dedup_substring",
+          lambda: traintext.substring_spans_ds(SF_DIR, k=8).count())
+    timed("bpe_merges",
+          lambda: traintext.bpe_merges_ds(SF_DIR, n_merges=30).count())
     timed("events_running_total", lambda: relational.events_running_total_ds(SF_DIR).count())
     timed("events_lag", lambda: relational.events_lag_ds(SF_DIR).count())
     timed("source_cap", lambda: textops.source_cap_ds(SF_DIR).count())

@@ -41,34 +41,12 @@ def _tok_series(text: pd.Series) -> pd.Series:
     return text.str.lower().str.strip().str.split(RE_WS)
 
 
-def substring_spans_ds(sf_dir: str, k: int = 8, num_parts: int = 8,
-                       hash_grams: bool = False):
-    """documents → one row per doc: (doc_id, n_tokens, dup_tokens, n_spans,
-    dup_frac_micros) where ``dup_tokens`` is the size of the union of all
-    token intervals [pos, pos+k) whose k-gram occurs ≥2 times in the corpus
-    (within- OR cross-document — true substring-dedup semantics, unlike
-    dup_passage's cross-doc document frequency), ``n_spans`` the number of
-    maximal merged spans, and ``dup_frac_micros = dup_tokens·10⁶ //
-    n_tokens`` (0 for empty docs).
-
-    Shape: (1) per-batch gram emission — one (gram, doc_id, pos) row per
-    token position, vectorized via grouped shifts; (2) ONE gram-key
-    exchange: all occurrences of a gram land in one partition, so the ≥2
-    verdict is local (no second lookup — contrast dup_passage's
-    df-attach); (3) ONE doc-key exchange of only the FLAGGED positions +
-    tiny (doc_id, n_tokens) marker rows, then the classic gaps-and-islands
-    merge (grouped cummax, no per-doc Python).  Mirrored in SQL with the
-    identical window rule.
-
-    ``hash_grams=True`` ships a stable 64-bit gram hash through exchange
-    (2) instead of the gram string — the 100-TB configuration (8 bytes vs
-    ~8·k; collision odds ~n²/2⁶⁵ are negligible at any real corpus).  The
-    default stays string-exact so the DuckDB mirror is equality-checkable;
-    hash≡string equivalence is pytest-pinned on the test corpus.
-    """
+def _dup_positions_ds(docs, k: int, num_parts: int, hash_grams: bool):
+    """documents → (doc_id, pos) for every token position whose k-gram
+    occurs ≥2 times in the corpus: per-batch gram emission, ONE gram-key
+    exchange, partition-local ≥2 verdict.  Shared by substring_spans_ds
+    (span stats) and substring_clean_ds (span removal)."""
     from ..stages.grouped import PART_COL, _key_hash
-
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def _grams(batch: pd.DataFrame) -> pd.DataFrame:
         toks = _tok_series(batch["text"])
@@ -114,12 +92,43 @@ def substring_spans_ds(sf_dir: str, k: int = 8, num_parts: int = 8,
         return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(),
                              "pos": d["pos"].to_numpy()}) if len(d) else empty
 
-    dup_pos = (
+    return (
         docs.map_batches(_route_gram, batch_format="pandas")
         .repartition(num_parts)
         .groupby(PART_COL)
         .map_groups(_dup_positions, batch_format="pandas")
     )
+
+
+def substring_spans_ds(sf_dir: str, k: int = 8, num_parts: int = 8,
+                       hash_grams: bool = False):
+    """documents → one row per doc: (doc_id, n_tokens, dup_tokens, n_spans,
+    dup_frac_micros) where ``dup_tokens`` is the size of the union of all
+    token intervals [pos, pos+k) whose k-gram occurs ≥2 times in the corpus
+    (within- OR cross-document — true substring-dedup semantics, unlike
+    dup_passage's cross-doc document frequency), ``n_spans`` the number of
+    maximal merged spans, and ``dup_frac_micros = dup_tokens·10⁶ //
+    n_tokens`` (0 for empty docs).
+
+    Shape: (1) per-batch gram emission — one (gram, doc_id, pos) row per
+    token position, vectorized via grouped shifts; (2) ONE gram-key
+    exchange: all occurrences of a gram land in one partition, so the ≥2
+    verdict is local (no second lookup — contrast dup_passage's
+    df-attach); (3) ONE doc-key exchange of only the FLAGGED positions +
+    tiny (doc_id, n_tokens) marker rows, then the classic gaps-and-islands
+    merge (grouped cummax, no per-doc Python).  Mirrored in SQL with the
+    identical window rule.
+
+    ``hash_grams=True`` ships a stable 64-bit gram hash through exchange
+    (2) instead of the gram string — the 100-TB configuration (8 bytes vs
+    ~8·k; collision odds ~n²/2⁶⁵ are negligible at any real corpus).  The
+    default stays string-exact so the DuckDB mirror is equality-checkable;
+    hash≡string equivalence is pytest-pinned on the test corpus.
+    """
+    from ..stages.grouped import PART_COL, _key_hash
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    dup_pos = _dup_positions_ds(docs, k, num_parts, hash_grams)
 
     def _markers(batch: pd.DataFrame) -> pd.DataFrame:
         toks = _tok_series(batch["text"])
@@ -187,6 +196,92 @@ def substring_spans_ds(sf_dir: str, k: int = 8, num_parts: int = 8,
         .repartition(num_parts)
         .groupby(PART_COL)
         .map_groups(_spans, batch_format="pandas")
+    )
+
+
+def substring_clean_ds(sf_dir: str, k: int = 8, num_parts: int = 8,
+                       hash_grams: bool = False):
+    """The removal transform of exact-substring dedup: documents →
+    (doc_id, text_clean, n_tokens, n_removed) where ``text_clean`` is the
+    single-space join of the lowercased tokens NOT covered by any
+    duplicated k-gram interval (the aggressive drop-ALL-copies policy —
+    keep-one-copy needs a global owner election per duplicate cluster,
+    a coordination cost this variant deliberately avoids; spans are the
+    same intervals substring_spans_ds reports).
+
+    Shape: the shared gram-key exchange from ``_dup_positions_ds``, then
+    ONE doc-key exchange carrying each doc's text once (like
+    boilerplate_strip ships lines) unioned with its flagged positions; the
+    coverage mask per doc is a vectorized interval-diff cumsum.  Output
+    text is whitespace-normalized lowercase by construction (the mirror's
+    ``string_agg(tok, ' ')`` over the same tokenization).
+    """
+    from ..stages.grouped import PART_COL, _key_hash
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    dup_pos = _dup_positions_ds(docs, k, num_parts, hash_grams)
+
+    def _text_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "pos": np.int64(-1),
+            "text": batch["text"].astype(str),
+        })
+
+    def _route_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        if "text" not in out.columns:  # dup-position rows
+            out["text"] = ""
+        if not len(out):
+            out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "pos": pd.Series([], dtype="int64"),
+                                "text": pd.Series([], dtype=object)})
+        out[PART_COL] = (_key_hash(out, ["doc_id"]) % num_parts).astype("int64")
+        return out
+
+    def _clean(group: pd.DataFrame) -> pd.DataFrame:
+        cols = {"doc_id": "int64", "text_clean": object, "n_tokens": "int64",
+                "n_removed": "int64"}
+        empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        if "doc_id" not in group.columns or not len(group):
+            return empty
+        texts = group[group["pos"] < 0]
+        dups = group[group["pos"] >= 0]
+        pos_by_doc: dict[int, np.ndarray] = {
+            int(d): g["pos"].to_numpy()
+            for d, g in dups.groupby("doc_id", sort=False)
+        } if len(dups) else {}
+        out = {c: [] for c in cols}
+        for doc_id, text in zip(texts["doc_id"], texts["text"]):
+            t = text.strip().lower()
+            toks = RE_WS.split(t) if t else []
+            n = len(toks)
+            ps = pos_by_doc.get(int(doc_id))
+            if ps is None or not n:
+                kept, removed = toks, 0
+            else:
+                # interval union via diff-array cumsum: [p, p+k) covered
+                diff = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(diff, ps, 1)
+                np.add.at(diff, np.minimum(ps + k, n), -1)
+                covered = np.cumsum(diff[:n]) > 0
+                removed = int(covered.sum())
+                kept = [tok for tok, c in zip(toks, covered) if not c]
+            out["doc_id"].append(int(doc_id))
+            out["text_clean"].append(" ".join(kept))
+            out["n_tokens"].append(n)
+            out["n_removed"].append(removed)
+        df = pd.DataFrame(out)
+        for c, t in cols.items():
+            df[c] = df[c].astype(t)
+        return df
+
+    return (
+        dup_pos.union(docs.map_batches(_text_rows, batch_format="pandas"))
+        .map_batches(_route_doc, batch_format="pandas")
+        .repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_clean, batch_format="pandas")
     )
 
 

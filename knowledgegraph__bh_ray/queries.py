@@ -904,6 +904,17 @@ def q_dedup_substring(sf_dir: str):
     return substring_spans_ds(sf_dir, k=SUBSTRING_K)
 
 
+def q_dedup_substring_clean(sf_dir: str):
+    """The removal transform of exact-substring dedup: per-doc cleaned text
+    with every duplicated-k-gram-covered token dropped (aggressive
+    drop-all-copies policy; whitespace-normalized lowercase output by
+    construction) — shared gram-key exchange + one text-scale doc-key
+    exchange."""
+    from .pipelines.traintext import substring_clean_ds
+
+    return substring_clean_ds(sf_dir, k=SUBSTRING_K)
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer-training merge table (Sennrich 2016): one corpus-scale
     word-count shuffle, then the iterative merge loop over the word-TYPE
@@ -965,9 +976,9 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "profile_documents": q_profile_documents,
     "distinct_users_by_type": q_distinct_users_by_type,
-    "top_anchor_texts": q_top_anchor_texts,
-    # new this round — first driver row:
+    # new this round — first driver rows:
     "dedup_substring": q_dedup_substring,
+    "dedup_substring_clean": q_dedup_substring_clean,
     "simsearch_topk": q_simsearch_topk,
     "export_graph": q_export_graph,
     "media_features": q_media_features,
@@ -991,10 +1002,13 @@ QUERIES = {
     # dup_passage and tfidf path — and sample_stratified the +2 (r3-green;
     # displaced to make room for the NEW dedup_substring mirror above;
     # its seeded-rank machinery is the same family as the in-cap
-    # source_cap / sample_weighted / shuffle_shard).  All still run in
-    # tools/check_driver.py and pytest every session.  Next round: rotate
-    # these 22 back in.
+    # source_cap / sample_weighted / shuffle_shard) — and top_anchor_texts
+    # the +3 (r3-green; displaced for the new dedup_substring_clean
+    # mirror; its groupby-count-top machinery is the bigram/tfidf family).
+    # All still run in tools/check_driver.py and pytest every session.
+    # Next round: rotate these 23 back in.
     "sample_stratified": q_sample_stratified,
+    "top_anchor_texts": q_top_anchor_texts,
     "kg_extract": q_kg_extract,
     "kg_links": q_kg_links,
     "kg_triples_raw": q_kg_triples_raw,
@@ -1224,6 +1238,47 @@ def substring_sql(k: int, source: str = "documents") -> str:
                      THEN coalesce(a.dup_tokens, 0) * 1000000 // t.n_tokens
                      ELSE 0 END)::BIGINT AS dup_frac_micros
         FROM toks t LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def substring_clean_sql(k: int, source: str = "documents") -> str:
+    """DuckDB mirror of ``substring_clean_ds`` — same gram/dup CTEs as
+    ``substring_sql``, then coverage expansion (one range-unnest per dup
+    position), token anti-join, ordered ``string_agg`` rebuild."""
+    return f"""
+        WITH arrs AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+            FROM {source} WHERE trim(text) != ''
+        ),
+        grams AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   array_to_string(arr[pos:pos + {k - 1}], ' ') AS gram
+            FROM (SELECT doc_id, arr,
+                         unnest(range(1, len(arr) - {k - 2})) AS pos
+                  FROM arrs WHERE len(arr) >= {k})
+        ),
+        dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        dpos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS tp
+                FROM dpos),
+        toks AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS tp,
+                        unnest(arr) AS tok
+                 FROM arrs),
+        kept AS (SELECT t.doc_id, t.tp, t.tok
+                 FROM toks t ANTI JOIN cov USING (doc_id, tp)),
+        agg AS (SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY tp) AS text_clean,
+                       count(*)::BIGINT AS n_kept
+                FROM kept GROUP BY 1),
+        nt AS (
+            SELECT doc_id, len(arr)::BIGINT AS n_tokens FROM arrs
+            UNION ALL
+            SELECT doc_id, 0::BIGINT FROM {source} WHERE trim(text) = ''
+        )
+        SELECT n.doc_id, coalesce(a.text_clean, '') AS text_clean,
+               n.n_tokens,
+               (n.n_tokens - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+        FROM nt n LEFT JOIN agg a USING (doc_id)
     """
 
 
@@ -1665,6 +1720,7 @@ def build_oracle_sql() -> dict[str, str]:
             FROM ex JOIN n_all USING (url) LEFT JOIN agg USING (url)
         """,
         "dedup_substring": substring_sql(SUBSTRING_K),
+        "dedup_substring_clean": substring_clean_sql(SUBSTRING_K),
         "dup_passage": """
             WITH arrs AS (
               SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr

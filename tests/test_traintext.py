@@ -175,3 +175,47 @@ def test_bpe_deterministic(ray_session, tmp_path):
     a = bpe_merges_ds(sf, n_merges=8).to_pandas()
     b = bpe_merges_ds(sf, n_merges=8).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_substring_clean_matches_oracle(ray_session, tmp_path):
+    import duckdb
+
+    from knowledgegraph__bh_ray.pipelines.traintext import substring_clean_ds
+    from knowledgegraph__bh_ray.queries import substring_clean_sql
+
+    k = 4
+    sf = _write_docs(tmp_path, FIXTURE)
+    got = (substring_clean_ds(sf, k=k).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    sql = substring_clean_sql(k=k).replace(
+        "FROM documents", f"FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = duckdb.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(FIXTURE)
+    for col in ("doc_id", "text_clean", "n_tokens", "n_removed"):
+        assert list(got[col]) == list(want[col]), col
+    by = got.set_index("doc_id")
+    # the shared 6-token passage vanishes from BOTH docs (drop-all policy)
+    assert by.loc[0, "text_clean"] == "intro words here and more trailing text"
+    assert by.loc[1, "text_clean"] == "closing words"
+    # within-doc repeat: both copies dropped
+    assert by.loc[2, "text_clean"] == "filler one two end"
+    # untouched doc survives verbatim (lowercased, ws-normalized)
+    assert by.loc[3, "text_clean"] == FIXTURE[3]
+    assert by.loc[5, "text_clean"] == "" and by.loc[5, "n_removed"] == 0
+    # adjacent merged span: everything but the tail dropped
+    assert by.loc[6, "text_clean"] == "tail" and by.loc[6, "n_removed"] == 8
+
+
+def test_substring_clean_consistent_with_spans(ray_session, tmp_path):
+    """n_removed must equal the span op's dup_tokens doc-for-doc (same
+    intervals, two different consumers)."""
+    sf = _write_docs(tmp_path, FIXTURE)
+    spans = (substring_spans_ds(sf, k=4).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    from knowledgegraph__bh_ray.pipelines.traintext import substring_clean_ds
+
+    clean = (substring_clean_ds(sf, k=4).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert list(spans["dup_tokens"]) == list(clean["n_removed"])
+    assert list(spans["n_tokens"]) == list(clean["n_tokens"])
