@@ -219,3 +219,15 @@ def test_substring_clean_consistent_with_spans(ray_session, tmp_path):
              .sort_values("doc_id").reset_index(drop=True))
     assert list(spans["dup_tokens"]) == list(clean["n_removed"])
     assert list(spans["n_tokens"]) == list(clean["n_tokens"])
+
+
+def test_substring_clean_hash_mode_equivalent(ray_session):
+    from knowledgegraph__bh_ray.pipelines.traintext import substring_clean_ds
+
+    sf = "/root/testdata/sf0.001"
+    a = (substring_clean_ds(sf, k=8).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (substring_clean_ds(sf, k=8, hash_grams=True).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
