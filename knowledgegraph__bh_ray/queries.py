@@ -461,6 +461,72 @@ def q_export_graph(sf_dir: str):
     )
 
 
+def q_export_json(sf_dir: str):
+    """W5 graph-JSON exporter ROUND-TRIP: build the constructor-style
+    knowledge-graph JSON (page-graph nodes/edges + ontology records,
+    constructor.py:121-131, 253-277), write it under /tmp, ``json.load``
+    it BACK, and emit structural invariants recomputed FROM THE PARSED
+    FILE — node count, child/parent link counts, the sum of child target
+    indices (pins the sorted-url index wiring through the file), and the
+    lexicographically-first node's name.  The artifact is page-graph-scale
+    (the reference's single-file visualization JSON), so driver-side
+    assembly matches the reference semantics; the distributed sinks are
+    covered by export_graph / csv_roundtrip."""
+    import json as _json
+
+    from .exporters.graph_json import page_graph_to_json
+
+    pages = _prep(sf_dir)
+    nodes = kg.page_graph_nodes_ds(pages).to_pandas()
+    edges = kg.page_graph_edges_ds(pages).to_pandas()
+    records = q_kg_records(sf_dir).to_pandas()
+    graph = page_graph_to_json(records, nodes, edges)
+    out = os.path.join("/tmp/kgbh_export",
+                       os.path.basename(os.path.normpath(sf_dir)) + "_graph.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w", encoding="utf-8") as f:
+        _json.dump(graph, f, ensure_ascii=False)
+    with open(out, encoding="utf-8") as f:
+        parsed = _json.load(f)
+    return pd.DataFrame({
+        "n_nodes": pd.Series([len(parsed)], dtype="int64"),
+        "n_child_links": pd.Series(
+            [sum(len(g["children"]) for g in parsed)], dtype="int64"),
+        "n_parent_links": pd.Series(
+            [sum(len(g["parents"]) for g in parsed)], dtype="int64"),
+        "sum_child_index": pd.Series(
+            [sum(c["index"] for g in parsed for c in g["children"])],
+            dtype="int64"),
+        # nodes are written in sorted-url order — parsed[0] is min(url)
+        "first_node_name": [parsed[0]["name"] if parsed else ""],
+    })
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """S7 CSV reader driver check: the Neo4j relations CSVs written by the
+    DISTRIBUTED sink are read BACK through the engine's parallel CSV
+    reader (``sources.read_csv`` over the fragment directory) and
+    re-aggregated — row count, distinct start ids, distinct relation
+    types, all recomputed from the file bytes."""
+    import shutil
+
+    from .exporters.distributed import write_relations_csv_partitioned
+    from .sources import read_csv
+
+    pages = _prep(sf_dir)
+    out_dir = os.path.join(
+        "/tmp/kgbh_export",
+        os.path.basename(os.path.normpath(sf_dir)) + "_csv_roundtrip")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_relations_csv_partitioned(kg.edges_ds(pages), out_dir)
+    back = read_csv(out_dir).to_pandas()
+    return pd.DataFrame({
+        "n_rows": pd.Series([len(back)], dtype="int64"),
+        "n_start_ids": pd.Series([back[":START_ID"].nunique()], dtype="int64"),
+        "n_rel_types": pd.Series([back[":TYPE"].nunique()], dtype="int64"),
+    })
+
+
 def q_kg_mentions_crf(sf_dir: str):
     """BiLSTM-CRF mention detector — the A2 model slot with REAL inference
     math (numpy BiLSTM + CRF Viterbi, deterministic seeded weights; see
@@ -975,12 +1041,12 @@ QUERIES = {
     "events_lag": q_events_lag,
     "quality_filter": q_quality_filter,
     "profile_documents": q_profile_documents,
-    "distinct_users_by_type": q_distinct_users_by_type,
     # new this round — first driver rows:
     "dedup_substring": q_dedup_substring,
     "dedup_substring_clean": q_dedup_substring_clean,
+    "export_json": q_export_json,
+    "csv_roundtrip": q_csv_roundtrip,
     "simsearch_topk": q_simsearch_topk,
-    "export_graph": q_export_graph,
     "media_features": q_media_features,
     "embed_concepts": q_embed_concepts,
     "rag_topk": q_rag_topk,
@@ -1005,10 +1071,18 @@ QUERIES = {
     # source_cap / sample_weighted / shuffle_shard) — and top_anchor_texts
     # the +3 (r3-green; displaced for the new dedup_substring_clean
     # mirror; its groupby-count-top machinery is the bigram/tfidf family).
-    # All still run in tools/check_driver.py and pytest every session.
-    # Next round: rotate these 23 back in.
+    # export_graph (+4) and distinct_users_by_type (+5) rotate out for the
+    # new export_json / csv_roundtrip mirrors: export_graph's CSV-sink
+    # count is subsumed by csv_roundtrip (same sink, now also READ BACK)
+    # and its TTL sink is differential-tested vs the executed csv2ttl;
+    # distinct_users_by_type's salted distinct-count machinery is the
+    # in-cap profile_documents family.  All still run in
+    # tools/check_driver.py and pytest every session.  Next round: rotate
+    # these 25 back in.
     "sample_stratified": q_sample_stratified,
     "top_anchor_texts": q_top_anchor_texts,
+    "export_graph": q_export_graph,
+    "distinct_users_by_type": q_distinct_users_by_type,
     "kg_extract": q_kg_extract,
     "kg_links": q_kg_links,
     "kg_triples_raw": q_kg_triples_raw,
@@ -2103,6 +2177,36 @@ def build_oracle_sql() -> dict[str, str]:
                    feat_idx::BIGINT AS feat_idx,
                    byte_val / CAST(255 AS DOUBLE) AS feat_val
             FROM d
+        """,
+        "export_json": f"""
+            WITH l AS (SELECT url,
+                              'https://baike.baidu.com' || split_part(href, '?', 1) AS link_url,
+                              text
+                       FROM read_parquet('{_G}/links_raw.parquet')
+                       WHERE href LIKE '/item/%'),
+            nodes AS (
+                SELECT url, name FROM (
+                    SELECT url, name, flag,
+                           row_number() OVER (PARTITION BY url ORDER BY flag, name) AS rn
+                    FROM (SELECT url, title AS name, 0 AS flag
+                          FROM read_parquet('{_G}/extracted.parquet')
+                          UNION ALL
+                          SELECT link_url AS url, text AS name, 1 AS flag FROM l))
+                WHERE rn = 1),
+            idx AS (SELECT url, (row_number() OVER (ORDER BY url) - 1)::BIGINT AS i
+                    FROM nodes),
+            e AS (SELECT DISTINCT url AS src_url, link_url AS dst_url FROM l)
+            SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+                   (SELECT count(*) FROM e)::BIGINT AS n_child_links,
+                   (SELECT count(*) FROM e)::BIGINT AS n_parent_links,
+                   (SELECT coalesce(sum(i.i), 0) FROM e JOIN idx i
+                    ON e.dst_url = i.url)::BIGINT AS sum_child_index,
+                   (SELECT arg_min(name, url) FROM nodes) AS first_node_name
+        """,
+        "csv_roundtrip": f"""
+            SELECT (SELECT count(*) FROM ({_EDGES}))::BIGINT AS n_rows,
+                   (SELECT count(DISTINCT subj) FROM ({_EDGES}))::BIGINT AS n_start_ids,
+                   (SELECT count(DISTINCT pred) FROM ({_EDGES}))::BIGINT AS n_rel_types
         """,
         "export_graph": f"""
             SELECT (SELECT count(DISTINCT substr(md5(name), 1, 8))
