@@ -527,6 +527,37 @@ def q_csv_roundtrip(sf_dir: str):
     })
 
 
+PROMPT_TEMPLATE = "请将以下文本判断并整理为概念与关系的markdown结构"
+
+
+def q_prompt_assembly(sf_dir: str):
+    """M18 prompt assembler over the extracted corpus: the reference's
+    template + data concatenation (read_instruct.py:163-176, reproduced by
+    functions/prompt.py:assemble_prompt) applied to every page's extracted
+    text — (url, prompt, n_prompt_chars), built vectorized (one pandas str
+    concat per batch; assemble_prompt's f-string IS this concatenation,
+    equality pinned in tests/test_misc_ops.py)."""
+    from .functions.prompt import assemble_prompt
+
+    sep = "\n\n请开始判断以下数据:\n\n"
+    ex = extracted_cached_ds(sf_dir)
+
+    def _assemble(batch: pd.DataFrame) -> pd.DataFrame:
+        prompts = PROMPT_TEMPLATE + sep + batch["text_out"]
+        out = pd.DataFrame({
+            "url": batch["url"],
+            "prompt": prompts,
+            "n_prompt_chars": prompts.str.len().astype("int64"),
+        })
+        # the vectorized concat must equal the slot function row-for-row
+        if len(out):
+            assert out["prompt"].iloc[0] == assemble_prompt(
+                PROMPT_TEMPLATE, batch["text_out"].iloc[0])
+        return out
+
+    return ex.map_batches(_assemble, batch_format="pandas")
+
+
 def q_kg_mentions_crf(sf_dir: str):
     """BiLSTM-CRF mention detector — the A2 model slot with REAL inference
     math (numpy BiLSTM + CRF Viterbi, deterministic seeded weights; see
@@ -1046,6 +1077,7 @@ QUERIES = {
     "dedup_substring_clean": q_dedup_substring_clean,
     "export_json": q_export_json,
     "csv_roundtrip": q_csv_roundtrip,
+    "prompt_assembly": q_prompt_assembly,
     "simsearch_topk": q_simsearch_topk,
     "media_features": q_media_features,
     "embed_concepts": q_embed_concepts,
@@ -1053,7 +1085,6 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
-    "repetition_filter": q_repetition_filter,
     "inverted_index": q_inverted_index,
     "pii_scrub": q_pii_scrub,
     "boilerplate_strip": q_boilerplate_strip,
@@ -1077,9 +1108,12 @@ QUERIES = {
     # and its TTL sink is differential-tested vs the executed csv2ttl;
     # distinct_users_by_type's salted distinct-count machinery is the
     # in-cap profile_documents family.  All still run in
-    # tools/check_driver.py and pytest every session.  Next round: rotate
-    # these 25 back in.
+    # repetition_filter (+6) rotates out for the new prompt_assembly
+    # mirror (its shuffle-free vectorized-scan family stays represented
+    # in-cap by pii_scrub).  All still run in tools/check_driver.py and
+    # pytest every session.  Next round: rotate these 26 back in.
     "sample_stratified": q_sample_stratified,
+    "repetition_filter": q_repetition_filter,
     "top_anchor_texts": q_top_anchor_texts,
     "export_graph": q_export_graph,
     "distinct_users_by_type": q_distinct_users_by_type,
@@ -2177,6 +2211,14 @@ def build_oracle_sql() -> dict[str, str]:
                    feat_idx::BIGINT AS feat_idx,
                    byte_val / CAST(255 AS DOUBLE) AS feat_val
             FROM d
+        """,
+        "prompt_assembly": f"""
+            WITH p AS (
+                SELECT url,
+                       '{PROMPT_TEMPLATE}' || chr(10) || chr(10) ||
+                       '请开始判断以下数据:' || chr(10) || chr(10) || text_out AS prompt
+                FROM read_parquet('{_G}/extracted.parquet'))
+            SELECT url, prompt, length(prompt)::BIGINT AS n_prompt_chars FROM p
         """,
         "export_json": f"""
             WITH l AS (SELECT url,
