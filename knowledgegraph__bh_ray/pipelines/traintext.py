@@ -72,9 +72,11 @@ def _dup_positions_ds(docs, k: int, num_parts: int, hash_grams: bool):
                             "doc_id": df["doc_id"].astype("int64").values,
                             "pos": pos})
         if hash_grams:
-            from ..functions.hashing import stable_u64
-
-            out["gram"] = out["gram"].map(stable_u64).astype("uint64")
+            # vectorized process-stable 64-bit hash (pandas siphash with a
+            # fixed key) — the 100-TB layout must not pay per-row Python
+            # on the token-scale gram table
+            out["gram"] = pd.util.hash_array(
+                out["gram"].to_numpy(dtype=object), categorize=False)
         return out
 
     def _route_gram(batch: pd.DataFrame) -> pd.DataFrame:
@@ -429,3 +431,50 @@ def bpe_merges_ds(sf_dir: str, n_merges: int = 30, num_parts: int = 8):
             "merged": pa.array([], pa.string()),
             "cnt": pa.array([], pa.int64())}))
     return rd.from_pandas(pd.DataFrame(merges))
+
+
+def bpe_encode_ds(sf_dir: str, merges: list[tuple[str, str, str]] | None = None,
+                  n_merges: int = 30, num_parts: int = 8):
+    """Apply a trained BPE merge table to the corpus — the encode side of
+    the tokenizer story: documents → (doc_id, n_words, n_pieces).
+
+    ``merges`` is [(left, right, merged), ...] in rank order; when omitted
+    it is trained first via ``bpe_merges_ds`` (the merge table is ~n_merges
+    rows — driver-sized by definition) and shipped to workers in the task
+    closure.  Encoding is shuffle-free and embarrassingly parallel: one
+    ``map_batches`` pass with a per-actor-batch WORD-TYPE memo (natural
+    text repeats words heavily, so each distinct word pays the rank-ordered
+    merge walk once per batch, not once per occurrence).  Truth = serial
+    rank-ordered reference in tests/test_traintext.py."""
+    if merges is None:
+        mt = bpe_merges_ds(sf_dir, n_merges=n_merges, num_parts=num_parts).to_pandas()
+        merges = list(zip(mt["left"], mt["right"], mt["merged"]))
+    merge_list = [(str(l), str(r), str(m)) for l, r, m in merges]
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _encode(batch: pd.DataFrame) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+
+        def pieces_of(word: str) -> int:
+            n = memo.get(word)
+            if n is None:
+                syms = list(word) + [END_MARK]
+                for l, r, m in merge_list:
+                    syms = _merge_syms(syms, l, r, m)
+                n = memo[word] = len(syms)
+            return n
+
+        toks = _tok_series(batch["text"])
+        n_words, n_pieces = [], []
+        for ws in toks:
+            ws = [w for w in ws if w]
+            n_words.append(len(ws))
+            n_pieces.append(sum(pieces_of(w) for w in ws))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_words": pd.Series(n_words, index=batch.index, dtype="int64"),
+            "n_pieces": pd.Series(n_pieces, index=batch.index, dtype="int64"),
+        })
+
+    return docs.map_batches(_encode, batch_format="pandas")

@@ -1012,6 +1012,16 @@ def q_dedup_substring_clean(sf_dir: str):
     return substring_clean_ds(sf_dir, k=SUBSTRING_K)
 
 
+def q_bpe_encode(sf_dir: str):
+    """Encode side of the tokenizer story: train the 30-merge BPE table,
+    then one shuffle-free map_batches pass over the corpus with a
+    word-type memo — (doc_id, n_words, n_pieces).  Non-SQL (rank-ordered
+    merge walk); truth = serial reference in tests/test_traintext.py."""
+    from .pipelines.traintext import bpe_encode_ds
+
+    return bpe_encode_ds(sf_dir, n_merges=30)
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer-training merge table (Sennrich 2016): one corpus-scale
     word-count shuffle, then the iterative merge loop over the word-TYPE
@@ -1140,6 +1150,7 @@ QUERIES = {
     "bigram_top": q_bigram_top,
     # --- no_oracle, never driver-checked (newest first) ---
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "dedup_semantic": q_dedup_semantic,
     "simsearch_lsh": q_simsearch_lsh,
     "simsearch_ivf": q_simsearch_ivf,

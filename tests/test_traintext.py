@@ -99,7 +99,6 @@ def test_substring_partition_invariance(ray_session, tmp_path):
             substring_spans_ds(sf, k=4, num_parts=parts)
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
-    # doc_ids collide across the replicated fixture — rebuild unique ids
     pd.testing.assert_frame_equal(outs[0], outs[1])
 
 
@@ -231,3 +230,55 @@ def test_substring_clean_hash_mode_equivalent(ray_session):
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def serial_bpe_encode(texts, merges):
+    """Independent reference: apply trained merges in rank order to every
+    whitespace token (chars + END_MARK start state), count pieces."""
+    out = {}
+    for doc_id, t in enumerate(texts):
+        tt = t.strip().lower()
+        words = tt.split() if tt else []
+        n_pieces = 0
+        for w in words:
+            syms = list(w) + [END_MARK]
+            for _, left, right, merged, _c in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            n_pieces += len(syms)
+        out[doc_id] = (len(words), n_pieces)
+    return out
+
+
+def test_bpe_encode_matches_serial(ray_session, tmp_path):
+    from knowledgegraph__bh_ray.pipelines.traintext import bpe_encode_ds
+
+    texts = [
+        "low low low lower lowest newest newest",
+        "the newest widest lowest low",
+        "",
+        "unseen zebra words",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    wc = Counter(w for t in texts for w in t.lower().split())
+    merges = serial_bpe(dict(wc), 8)
+    got = (bpe_encode_ds(sf, n_merges=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = serial_bpe_encode(texts, merges)
+    assert len(got) == len(texts)
+    for _, r in got.iterrows():
+        n_words, n_pieces = ref[int(r["doc_id"])]
+        assert (int(r["n_words"]), int(r["n_pieces"])) == (n_words, n_pieces), r
+    # compression sanity: trained merges shrink the repeated vocabulary
+    chars_plus_end = {d: sum(len(w) + 1 for w in t.lower().split())
+                      for d, t in enumerate(texts)}
+    assert int(got.set_index("doc_id").loc[0, "n_pieces"]) < chars_plus_end[0]
+    # unseen words still encode (no merge applies, chars+END pieces)
+    assert int(got.set_index("doc_id").loc[3, "n_pieces"]) == chars_plus_end[3]
