@@ -157,28 +157,32 @@ def test_nll_gradients_match_finite_difference():
                                                    _hidden_single, crf_nll)
 
     params = CRFParams(seed=3)
-    text = "实体A在北京"
-    g = np.array([1, 2, 3, 0, 1], dtype=np.int64)  # B I E O B over 5 chars
-    h = _hidden_single(text[: len(g)], params)
-    loss, grads = _crf_nll_grads(params, h, g)
-    assert np.isclose(loss, crf_nll(params, h, g))
-
-    eps = 1e-6
     rng = np.random.default_rng(0)
-    for name in ("w_tag", "b_tag", "transitions", "start_trans", "end_trans"):
-        arr = getattr(params, name)
-        flat = arr.reshape(-1)
-        # probe a handful of random coordinates per tensor
-        for idx in rng.choice(flat.size, size=min(12, flat.size), replace=False):
-            orig = flat[idx]
-            flat[idx] = orig + eps
-            up = crf_nll(params, h, g)
-            flat[idx] = orig - eps
-            dn = crf_nll(params, h, g)
-            flat[idx] = orig
-            num = (up - dn) / (2 * eps)
-            ana = grads[name].reshape(-1)[idx]
-            assert np.isclose(num, ana, rtol=1e-4, atol=1e-6), (name, idx, num, ana)
+    cases = [
+        ("实体A在北京", np.array([1, 2, 3, 0, 1], dtype=np.int64)),  # B I E O B
+        # longer mixed sequence — exercises logsumexp stability over T=24
+        ("《机器学习》是一本书，Entity7 在 2024 读完了它",
+         np.array(([1, 2, 2, 3, 0, 4] * 4), dtype=np.int64)),
+    ]
+    eps = 1e-6
+    for text, g in cases:
+        h = _hidden_single(text[: len(g)], params)
+        loss, grads = _crf_nll_grads(params, h, g)
+        assert np.isclose(loss, crf_nll(params, h, g))
+        for name in ("w_tag", "b_tag", "transitions", "start_trans", "end_trans"):
+            arr = getattr(params, name)
+            flat = arr.reshape(-1)
+            # probe a handful of random coordinates per tensor
+            for idx in rng.choice(flat.size, size=min(12, flat.size), replace=False):
+                orig = flat[idx]
+                flat[idx] = orig + eps
+                up = crf_nll(params, h, g)
+                flat[idx] = orig - eps
+                dn = crf_nll(params, h, g)
+                flat[idx] = orig
+                num = (up - dn) / (2 * eps)
+                ana = grads[name].reshape(-1)[idx]
+                assert np.isclose(num, ana, rtol=1e-4, atol=1e-6), (name, idx, num, ana)
 
 
 def test_nll_training_improves_f1_and_reduces_loss():
