@@ -1026,7 +1026,8 @@ def quality_filter_ds(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
     return counts.map_batches(_keep, batch_format="pandas")
 
 
-def lm_perplexity_ds(sf_dir: str, num_parts: int = 8):
+def lm_perplexity_ds(sf_dir: str, num_parts: int = 8,
+                     vocab_broadcast_threshold: int = 2_000_000):
     """CCNet-style language-model quality scoring: train an add-one-smoothed
     bigram LM on the corpus itself (one distributed counting pass), then
     score every document by its average bigram log-probability —
@@ -1034,12 +1035,16 @@ def lm_perplexity_ds(sf_dir: str, num_parts: int = 8):
     emitted as int64 micros (float ulp noise from differing summation
     orders vanishes at micro rounding, the kg_pagerank convention).
 
-    100-TB design: NO broadcast anywhere — the LM's unigram/bigram count
-    tables are corpus-vocabulary-sized, so scores attach via two
-    ``reduce_side_lookup`` exchanges (gram-hash routed), then one doc-hash
-    aggregate; the three shuffles move one row per token occurrence, which
-    is the inherent cost of scoring every token.  Self-trained, so every
-    doc bigram is present in the count tables (lookups never miss);
+    100-TB design: the BIGRAM table is corpus-scale, so c2 attaches via a
+    ``reduce_side_lookup`` exchange (gram-hash routed, salted) —
+    no broadcast there, ever.  The UNIGRAM table is vocab-scale (Heaps'
+    law: sublinear in corpus size), so its attach is COUNTED DISPATCH
+    (the kcore/nsim rule): when ``count(cnt1) ≤ vocab_broadcast_threshold``
+    the unigram map is ``ray.put`` once and c1 attaches shuffle-free inside
+    the scoring pass — eliminating one full token-scale exchange; above
+    the threshold the original reduce-side lookup runs.  Both paths
+    equality-pinned in tests/test_window_caps_filter.py.  Self-trained, so
+    every doc bigram is present in the count tables (lookups never miss);
     smoothing keeps the formula standard."""
     from ..stages.grouped import hash_partitioned_agg, reduce_side_lookup
 
@@ -1105,22 +1110,36 @@ def lm_perplexity_ds(sf_dir: str, num_parts: int = 8):
         grams, ["doc_id", "w1", "bigram"], "bigram", cnt2, "bigram", ["c2"],
         num_parts=num_parts, salt_from="doc_id",
     )
-    with_c1 = reduce_side_lookup(
-        with_c2, ["doc_id", "bigram", "c2"], "w1",
-        cnt1.map_batches(
-            lambda d: pd.DataFrame({"w1": d.get("term", []), "c1": d.get("c1", [])}),
-            batch_format="pandas",
-        ), "w1", ["c1"], num_parts=num_parts, salt_from="doc_id",
-    )
+    if vocab <= vocab_broadcast_threshold:
+        # counted dispatch: attach c1 from a broadcast vocab map inside the
+        # scoring pass — no token-scale exchange for the unigram lookup
+        cpd = cnt1.to_pandas()
+        c1_ref = ray.put(pd.Series(
+            cpd.get("c1", pd.Series(dtype="int64")).to_numpy("int64"),
+            index=cpd.get("term", pd.Series(dtype=object))))
+        with_c1 = None
+    else:
+        c1_ref = None
+        with_c1 = reduce_side_lookup(
+            with_c2, ["doc_id", "bigram", "c2"], "w1",
+            cnt1.map_batches(
+                lambda d: pd.DataFrame({"w1": d.get("term", []), "c1": d.get("c1", [])}),
+                batch_format="pandas",
+            ), "w1", ["c1"], num_parts=num_parts, salt_from="doc_id",
+        )
 
     def _logp(d: pd.DataFrame) -> pd.DataFrame:
         if "doc_id" not in d.columns or not len(d):
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "n_bigrams": pd.Series([], dtype="int64"),
                                  "lp_sum": pd.Series([], dtype="float64")})
+        if c1_ref is not None:
+            c1 = d["w1"].map(ray.get(c1_ref)).astype("float64")
+        else:
+            c1 = d["c1"].astype("float64")
         lp = np.log(
             (d["c2"].astype("float64") + 1.0)
-            / (d["c1"].astype("float64") + float(vocab))
+            / (c1 + float(vocab))
         )
         return pd.DataFrame({"doc_id": d["doc_id"].astype("int64"),
                              "n_bigrams": np.int64(1), "lp_sum": lp})
@@ -1134,8 +1153,9 @@ def lm_perplexity_ds(sf_dir: str, num_parts: int = 8):
             n_bigrams=("n_bigrams", "sum"), lp_sum=("lp_sum", "sum")
         ).astype({"n_bigrams": "int64"})
 
+    scored_src = with_c2 if with_c1 is None else with_c1
     per_doc = hash_partitioned_agg(
-        with_c1.map_batches(_logp, batch_format="pandas"),
+        scored_src.map_batches(_logp, batch_format="pandas"),
         ["doc_id"], _doc_sum, num_parts=num_parts,
     )
 

@@ -339,3 +339,20 @@ class TestSourceCapPreCap:
             got[["doc_id", "source", "rank"]], ref[["doc_id", "source", "rank"]]
         )
         assert (got.groupby("source").size() == 12).all()
+
+
+def test_lm_perplexity_dispatch_equivalence(ray_session):
+    """Counted-dispatch gate for the unigram attach: broadcast (default —
+    the vocab table is Heaps-law-sized) and reduce-side fallback
+    (vocab_broadcast_threshold=0) must score identically."""
+    import pandas as pd
+
+    from knowledgegraph__bh_ray.pipelines.textops import lm_perplexity_ds
+
+    sf = "/root/testdata/sf0.001"
+    a = (lm_perplexity_ds(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (lm_perplexity_ds(sf, vocab_broadcast_threshold=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
