@@ -1232,9 +1232,22 @@ def dup_passage_ds(sf_dir: str, n: int = 4, num_parts: int = 8):
     )
 
     occ = docs.map_batches(_gram_occ, batch_format="pandas")
+    def _dup_only(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.get("gram", pd.Series([], dtype=object))
+        f = np.asarray(d.get("df", pd.Series([], dtype="int64")), dtype="int64")
+        keep = f >= 2
+        return pd.DataFrame({"gram": np.asarray(g, dtype=object)[keep],
+                             "df": f[keep]})
+
+    # only grams seen in ≥2 docs matter downstream — filter the lut BEFORE
+    # the exchange: the lut side replicates salt_buckets× inside the salted
+    # lookup, and most n-grams in natural text are unique, so this cuts the
+    # lut's exchange volume several-fold.  A missed (left-join) probe row
+    # IS the not-dup verdict.
     with_df = reduce_side_lookup(
-        occ, ["doc_id", "gram"], "gram", dfs, "gram", ["df"],
-        num_parts=num_parts, salt_from="doc_id",
+        occ, ["doc_id", "gram"], "gram",
+        dfs.map_batches(_dup_only, batch_format="pandas"), "gram", ["df"],
+        how="left", num_parts=num_parts, salt_from="doc_id",
     )
 
     def _doc_partial(d: pd.DataFrame) -> pd.DataFrame:
@@ -1242,7 +1255,7 @@ def dup_passage_ds(sf_dir: str, n: int = 4, num_parts: int = 8):
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "n_grams": pd.Series([], dtype="int64"),
                                  "n_dup": pd.Series([], dtype="int64")})
-        dup = (d["df"].astype("int64") >= 2).astype("int64")
+        dup = d["df"].notna().astype("int64")  # lut holds ONLY df≥2 grams
         g = pd.DataFrame({"doc_id": d["doc_id"].astype("int64"),
                           "n_grams": np.int64(1), "n_dup": dup.values})
         return g.groupby("doc_id", sort=False, as_index=False).sum().astype(
