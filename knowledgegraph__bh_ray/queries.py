@@ -558,6 +558,81 @@ def q_prompt_assembly(sf_dir: str):
     return ex.map_batches(_assemble, batch_format="pandas")
 
 
+TOKEN_BUDGET = 512  # shared with the SQL mirror
+
+
+def q_token_budget(sf_dir: str):
+    """T6 token-budget truncation over the extracted corpus: each page's
+    paragraphs run through the REAL ``truncate_to_budget`` greedy
+    drop-largest rule (read_v2.py:42-53 — drop the largest item, earliest
+    index first on ties, until the ``len//2`` token estimate fits the
+    budget); emits per-page (n_items, n_kept, n_dropped, est_total,
+    est_kept).  The mirror reproduces the greedy as a cumulative sum over
+    (estimate DESC, position ASC): a row is dropped iff the running total
+    BEFORE it still exceeds the budget."""
+    from .functions.budget import estimate_tokens, truncate_to_budget
+
+    ex = extracted_cached_ds(sf_dir)
+
+    def _budget(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"url": [], "n_items": [], "n_kept": [], "n_dropped": [],
+               "est_total": [], "est_kept": []}
+        for url, text in zip(batch["url"], batch["text_out"]):
+            items = text.split("\n")
+            kept, dropped = truncate_to_budget(items, budget=TOKEN_BUDGET)
+            out["url"].append(url)
+            out["n_items"].append(len(items))
+            out["n_kept"].append(len(kept))
+            out["n_dropped"].append(len(dropped))
+            out["est_total"].append(sum(estimate_tokens(t) for t in items))
+            out["est_kept"].append(sum(estimate_tokens(t) for t in kept))
+        df = pd.DataFrame(out)
+        for c in ("n_items", "n_kept", "n_dropped", "est_total", "est_kept"):
+            df[c] = df[c].astype("int64")
+        return df
+
+    return ex.map_batches(_budget, batch_format="pandas")
+
+
+def q_pipeline_counters(sf_dir: str):
+    """A5/G8 driver check: run the RESUMABLE headline pipeline end-to-end
+    (fresh out_dir), then read back its write-then-log manifest and emit
+    the lineage rows + quarantine counters AS RECORDED IN THE MANIFEST
+    FILE — unit row counts for parsed/nodes/edges and the
+    pages_in/pages_dropped_verification counters — hash-checked against
+    independent SQL counts over the golden tables."""
+    import json as _json
+    import shutil
+
+    from .pipelines.run import run_kg_pipeline
+
+    pages = _prep(sf_dir)
+    out_dir = os.path.join(
+        "/tmp/kgbh_export",
+        os.path.basename(os.path.normpath(sf_dir)) + "_pipeline_counters")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_kg_pipeline(pages, out_dir, num_shards=8)
+    rows: dict[str, int] = {}
+    counters: dict[str, int] = {}
+    with open(os.path.join(out_dir, "manifest.jsonl"), encoding="utf-8") as f:
+        for line in f:
+            r = _json.loads(line)
+            unit = r["unit"].split(":")[0]
+            rows[unit] = rows.get(unit, 0) + int(r["rows"])
+            for k, v in (r.get("counters") or {}).items():
+                counters[k] = counters.get(k, 0) + int(v)
+    out = [
+        ("counter:pages_in", counters.get("pages_in", 0)),
+        ("counter:pages_dropped_verification",
+         counters.get("pages_dropped_verification", 0)),
+        ("unit:parsed", rows.get("parsed", 0)),
+        ("unit:nodes", rows.get("nodes", 0)),
+        ("unit:edges", rows.get("edges", 0)),
+    ]
+    return pd.DataFrame({"k": [k for k, _ in out],
+                         "v": pd.Series([v for _, v in out], dtype="int64")})
+
+
 def q_kg_mentions_crf(sf_dir: str):
     """BiLSTM-CRF mention detector — the A2 model slot with REAL inference
     math (numpy BiLSTM + CRF Viterbi, deterministic seeded weights; see
@@ -1079,7 +1154,6 @@ QUERIES = {
     "kg_pages_without_links": q_kg_pages_without_links,
     "events_asof_join": q_events_asof_join,
     "events_running_total": q_events_running_total,
-    "events_lag": q_events_lag,
     "quality_filter": q_quality_filter,
     "profile_documents": q_profile_documents,
     # new this round — first driver rows:
@@ -1088,9 +1162,10 @@ QUERIES = {
     "export_json": q_export_json,
     "csv_roundtrip": q_csv_roundtrip,
     "prompt_assembly": q_prompt_assembly,
+    "token_budget": q_token_budget,
+    "pipeline_counters": q_pipeline_counters,
     "simsearch_topk": q_simsearch_topk,
     "media_features": q_media_features,
-    "embed_concepts": q_embed_concepts,
     "rag_topk": q_rag_topk,
     "curate_corpus": q_curate_corpus,
     "decontaminate": q_decontaminate,
@@ -1120,10 +1195,18 @@ QUERIES = {
     # in-cap profile_documents family.  All still run in
     # repetition_filter (+6) rotates out for the new prompt_assembly
     # mirror (its shuffle-free vectorized-scan family stays represented
-    # in-cap by pii_scrub).  All still run in tools/check_driver.py and
-    # pytest every session.  Next round: rotate these 26 back in.
+    # in-cap by pii_scrub); events_lag (+7) for the new token_budget
+    # mirror (the window family stays represented in-cap by
+    # events_running_total / events_hopping_window / events_asof_join /
+    # events_sessionize); embed_concepts (+8) for the new
+    # pipeline_counters mirror (its md5-arithmetic encode stand-in is the
+    # exact path the in-cap embed_relations and rag_topk drive).  All
+    # still run in tools/check_driver.py and pytest every session.  Next
+    # round: rotate these 28 back in.
     "sample_stratified": q_sample_stratified,
     "repetition_filter": q_repetition_filter,
+    "events_lag": q_events_lag,
+    "embed_concepts": q_embed_concepts,
     "top_anchor_texts": q_top_anchor_texts,
     "export_graph": q_export_graph,
     "distinct_users_by_type": q_distinct_users_by_type,
@@ -2222,6 +2305,49 @@ def build_oracle_sql() -> dict[str, str]:
                    feat_idx::BIGINT AS feat_idx,
                    byte_val / CAST(255 AS DOUBLE) AS feat_val
             FROM d
+        """,
+        "pipeline_counters": f"""
+            SELECT * FROM (VALUES
+              ('counter:pages_in',
+               (SELECT count(*) FROM read_parquet('{_P}'))),
+              ('counter:pages_dropped_verification',
+               (SELECT count(*) FROM read_parquet('{_P}'))
+               - (SELECT count(*) FROM read_parquet('{_G}/extracted.parquet'))),
+              ('unit:parsed',
+               (SELECT count(*) FROM read_parquet('{_G}/extracted.parquet'))),
+              ('unit:nodes',
+               (SELECT count(DISTINCT id)
+                FROM read_parquet('{_G}/nodes_raw.parquet'))),
+              ('unit:edges', (SELECT count(*) FROM ({_EDGES})))
+            ) AS t(k, v)
+        """,
+        "token_budget": f"""
+            WITH ex AS (SELECT url, text_out
+                        FROM read_parquet('{_G}/extracted.parquet')),
+            items AS (
+                SELECT url,
+                       unnest(range(1, len(string_split(text_out, chr(10))) + 1)) AS pos,
+                       unnest(string_split(text_out, chr(10))) AS item
+                FROM ex),
+            est AS (SELECT url, pos, (length(item) // 2)::BIGINT AS est FROM items),
+            w AS (
+                SELECT url, pos, est,
+                       sum(est) OVER (PARTITION BY url) AS total,
+                       coalesce(sum(est) OVER (
+                           PARTITION BY url ORDER BY est DESC, pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cum_before
+                FROM est),
+            v AS (SELECT url, est,
+                         (total - cum_before > {TOKEN_BUDGET}) AS dropped
+                  FROM w)
+            SELECT url,
+                   count(*)::BIGINT AS n_items,
+                   count(*) FILTER (NOT dropped)::BIGINT AS n_kept,
+                   count(*) FILTER (dropped)::BIGINT AS n_dropped,
+                   sum(est)::BIGINT AS est_total,
+                   coalesce(sum(est) FILTER (NOT dropped), 0)::BIGINT AS est_kept
+            FROM v GROUP BY url
         """,
         "prompt_assembly": f"""
             WITH p AS (
