@@ -633,6 +633,86 @@ def q_pipeline_counters(sf_dir: str):
                          "v": pd.Series([v for _, v in out], dtype="int64")})
 
 
+def q_mention_coverage(sf_dir: str):
+    """G9 driver check — entity-level set precision/recall/F1 of the
+    mention detector's surface vocabulary vs the raw node-name vocabulary
+    (the mention-coverage audit: which concepts actually occur in text).
+    Distributed set compare: two distinct aggregates → tagged union → one
+    name-hash exchange with per-partition tp/fp/fn partials; the scalar
+    P/R/F1 goes through the REAL ``triple_prf`` (functions/metrics.py, the
+    north-rule scorer) and is emitted as exact integer micros."""
+    import numpy as np
+
+    from .functions.metrics import triple_prf
+    from .stages.grouped import PART_COL, _key_hash, distinct_block, \
+        hash_partitioned_agg
+
+    pages = _prep(sf_dir)
+    ments = q_kg_mentions(sf_dir).map_batches(
+        lambda d: pd.DataFrame({"name": d.get("entity", [])}),
+        batch_format="pandas")
+    m_set = hash_partitioned_agg(ments, ["name"], distinct_block(["name"]))
+    n_set = hash_partitioned_agg(
+        kg.nodes_raw_ds(pages).map_batches(
+            lambda d: pd.DataFrame({"name": d.get("name", [])}),
+            batch_format="pandas"),
+        ["name"], distinct_block(["name"]))
+
+    def _tag(bit):
+        def _f(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"name": d.get("name", []), "bit": np.int64(bit)})
+        return _f
+
+    def _route(d: pd.DataFrame) -> pd.DataFrame:
+        out = d.copy()
+        if "name" not in out.columns or not len(out):
+            out = pd.DataFrame({"name": pd.Series([], dtype=object),
+                                "bit": pd.Series([], dtype="int64")})
+        out[PART_COL] = (_key_hash(out, ["name"]) % 8).astype("int64")
+        return out
+
+    def _counts(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"tp": pd.Series([], dtype="int64"),
+                              "fp": pd.Series([], dtype="int64"),
+                              "fn": pd.Series([], dtype="int64")})
+        if "name" not in g.columns or not len(g):
+            return empty
+        bits = g.groupby("name", sort=False)["bit"].sum()
+        return pd.DataFrame({"tp": [int((bits == 3).sum())],
+                             "fp": [int((bits == 1).sum())],
+                             "fn": [int((bits == 2).sum())]}).astype("int64")
+
+    parts = (
+        m_set.map_batches(_tag(1), batch_format="pandas")
+        .union(n_set.map_batches(_tag(2), batch_format="pandas"))
+        .map_batches(_route, batch_format="pandas")
+        .repartition(8)
+        .groupby(PART_COL)
+        .map_groups(_counts, batch_format="pandas")
+        .to_pandas()  # ≤8 partial rows
+    )
+    tp, fp, fn = (int(parts["tp"].sum()), int(parts["fp"].sum()),
+                  int(parts["fn"].sum()))
+    # drive the real G9 scorer on equivalent synthetic sets with the same
+    # tp/fp/fn and pin its floats against the integer micros
+    pred = {f"p{i}" for i in range(tp)} | {f"x{i}" for i in range(fp)}
+    gold = {f"p{i}" for i in range(tp)} | {f"y{i}" for i in range(fn)}
+    prf = triple_prf(pred, gold)
+    p_micros = tp * 1_000_000 // (tp + fp) if tp + fp else 0
+    r_micros = tp * 1_000_000 // (tp + fn) if tp + fn else 0
+    f_micros = 2 * tp * 1_000_000 // (2 * tp + fp + fn) if tp + fp + fn else 0
+    assert abs(prf["precision"] * 1_000_000 - p_micros) <= 1
+    assert abs(prf["recall"] * 1_000_000 - r_micros) <= 1
+    return pd.DataFrame({
+        "tp": pd.Series([tp], dtype="int64"),
+        "fp": pd.Series([fp], dtype="int64"),
+        "fn": pd.Series([fn], dtype="int64"),
+        "precision_micros": pd.Series([p_micros], dtype="int64"),
+        "recall_micros": pd.Series([r_micros], dtype="int64"),
+        "f1_micros": pd.Series([f_micros], dtype="int64"),
+    })
+
+
 def q_kg_mentions_crf(sf_dir: str):
     """BiLSTM-CRF mention detector — the A2 model slot with REAL inference
     math (numpy BiLSTM + CRF Viterbi, deterministic seeded weights; see
@@ -1151,7 +1231,6 @@ QUERIES = {
     # r3-green mirrors whose ONLY row is r3 (not green in r2):
     "kg_pagerank": q_kg_pagerank,
     "kg_kcore": q_kg_kcore,
-    "kg_pages_without_links": q_kg_pages_without_links,
     "events_asof_join": q_events_asof_join,
     "events_running_total": q_events_running_total,
     "quality_filter": q_quality_filter,
@@ -1164,6 +1243,7 @@ QUERIES = {
     "prompt_assembly": q_prompt_assembly,
     "token_budget": q_token_budget,
     "pipeline_counters": q_pipeline_counters,
+    "mention_coverage": q_mention_coverage,
     "simsearch_topk": q_simsearch_topk,
     "media_features": q_media_features,
     "rag_topk": q_rag_topk,
@@ -1201,8 +1281,12 @@ QUERIES = {
     # events_sessionize); embed_concepts (+8) for the new
     # pipeline_counters mirror (its md5-arithmetic encode stand-in is the
     # exact path the in-cap embed_relations and rag_topk drive).  All
-    # still run in tools/check_driver.py and pytest every session.  Next
-    # round: rotate these 28 back in.
+    # kg_pages_without_links (+9) for the new mention_coverage mirror (its
+    # reduce-side anti-join machinery is the same tagged-union set compare
+    # mention_coverage itself drives in-cap).  All still run in
+    # tools/check_driver.py and pytest every session.  Next round: rotate
+    # these 29 back in.
+    "kg_pages_without_links": q_kg_pages_without_links,
     "sample_stratified": q_sample_stratified,
     "repetition_filter": q_repetition_filter,
     "events_lag": q_events_lag,
@@ -2305,6 +2389,25 @@ def build_oracle_sql() -> dict[str, str]:
                    feat_idx::BIGINT AS feat_idx,
                    byte_val / CAST(255 AS DOUBLE) AS feat_val
             FROM d
+        """,
+        "mention_coverage": f"""
+            WITH m AS (SELECT DISTINCT entity AS name
+                       FROM read_parquet('{_G}/mentions.parquet')),
+                 n AS (SELECT DISTINCT name
+                       FROM read_parquet('{_G}/nodes_raw.parquet')),
+                 c AS (SELECT
+                         (SELECT count(*) FROM m JOIN n USING (name)) AS tp,
+                         (SELECT count(*) FROM m ANTI JOIN n USING (name)) AS fp,
+                         (SELECT count(*) FROM n ANTI JOIN m USING (name)) AS fn)
+            SELECT tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
+                   (CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp)
+                         ELSE 0 END)::BIGINT AS precision_micros,
+                   (CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
+                         ELSE 0 END)::BIGINT AS recall_micros,
+                   (CASE WHEN tp + fp + fn > 0
+                         THEN 2 * tp * 1000000 // (2 * tp + fp + fn)
+                         ELSE 0 END)::BIGINT AS f1_micros
+            FROM c
         """,
         "pipeline_counters": f"""
             SELECT * FROM (VALUES
