@@ -162,7 +162,14 @@ def run_kg_pipeline(
             stats: dict = {}
             parsed = kg.extract_parse_batch(sub.select(["url", "html"]), stats=stats)
             stats["pages_in"] = sub.num_rows
-            counter.incr_many.remote(stats)  # one actor call per batch
+            # BLOCKING on purpose: fire-and-forget increments race the
+            # driver's get_all after write_parquet (messages from worker
+            # callers have no cross-caller ordering vs the driver's read —
+            # observed as undercounted manifests in a busy session).  One
+            # awaited actor call per ~100 ms batch is noise here; at extreme
+            # worker counts shard the counter actor by key hash instead of
+            # reverting to fire-and-forget.
+            ray.get(counter.incr_many.remote(stats))
             return _add_shard(parsed, num_shards)
 
         ds = pages.map_batches(
