@@ -261,3 +261,44 @@ def test_asof_join_semantics(ray_session, tmp_path):
     assert by_id[5].click_id == 1 and by_id[5].gap_us == 50
     assert by_id[6].click_id == -1 and by_id[6].gap_us == -1
     assert by_id[8].click_id == -1 and by_id[8].click_ts_us == -1
+
+
+def test_token_budget_greedy_equals_sql_window_rule():
+    """The token_budget mirror's claim — greedy drop-largest ≡ 'drop iff
+    the running total BEFORE this row (ordered by estimate DESC, position
+    ASC) still exceeds the budget' — pinned by randomized differential
+    against DuckDB, no Ray needed."""
+    import duckdb
+    import numpy as np
+
+    from knowledgegraph__bh_ray.functions.budget import (estimate_tokens,
+                                                         truncate_to_budget)
+
+    rng = np.random.default_rng(23)
+    for trial in range(40):
+        n = int(rng.integers(0, 12))
+        items = ["x" * int(rng.integers(0, 30)) for _ in range(n)]
+        budget = int(rng.integers(0, 80))
+        kept, dropped = truncate_to_budget(items, budget=budget)
+        n_kept = len(kept)
+        est_kept = sum(estimate_tokens(t) for t in kept)
+        if not items:
+            assert n_kept == 0 and est_kept == 0
+            continue
+        rows = ", ".join(f"({i + 1}, {len(t) // 2})"
+                         for i, t in enumerate(items))
+        got = duckdb.sql(f"""
+            WITH est AS (SELECT * FROM (VALUES {rows}) AS t(pos, est)),
+            w AS (SELECT pos, est,
+                         sum(est) OVER () AS total,
+                         coalesce(sum(est) OVER (
+                             ORDER BY est DESC, pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                         ), 0) AS cum_before
+                  FROM est)
+            SELECT count(*) FILTER (NOT (total - cum_before > {budget})),
+                   coalesce(sum(est) FILTER (NOT (total - cum_before > {budget})), 0)
+            FROM w
+        """).fetchone()
+        assert (int(got[0]), int(got[1])) == (n_kept, est_kept), (
+            trial, items, budget)

@@ -282,3 +282,34 @@ def test_bpe_encode_matches_serial(ray_session, tmp_path):
     assert int(got.set_index("doc_id").loc[0, "n_pieces"]) < chars_plus_end[0]
     # unseen words still encode (no merge applies, chars+END pieces)
     assert int(got.set_index("doc_id").loc[3, "n_pieces"]) == chars_plus_end[3]
+
+
+def test_substring_randomized_differential(ray_session, tmp_path):
+    """Randomized corpora vs the DuckDB mirror: small vocab + short docs
+    maximize accidental k-gram collisions (within- and cross-doc), probing
+    the islands rule far beyond the planted fixture."""
+    import duckdb
+
+    from knowledgegraph__bh_ray.queries import substring_sql
+
+    rng = np.random.default_rng(17)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    k = 3
+    for trial in range(4):
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(0, 14)))
+            for _ in range(25)
+        ]
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        sf = _write_docs(d, texts)
+        got = (substring_spans_ds(sf, k=k, num_parts=3).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        sql = substring_sql(k=k).replace(
+            "FROM documents", f"FROM read_parquet('{sf}/documents.parquet')")
+        want = duckdb.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+        assert len(got) == len(texts), trial
+        for col in ("doc_id", "n_tokens", "dup_tokens", "n_spans",
+                    "dup_frac_micros"):
+            assert list(got[col].astype("int64")) == \
+                list(want[col].astype("int64")), (trial, col)
