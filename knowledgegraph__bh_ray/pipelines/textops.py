@@ -1428,3 +1428,103 @@ def mix_corpora_ds(sf_dir: str, seed: str = "m0"):
         .groupby(PART_COL)
         .map_groups(_stride, batch_format="pandas")
     )
+
+
+def heavy_hitters_ds(sf_dir: str, denom: int = 1000, mg_k: int = 4000,
+                     num_parts: int = 8):
+    """Exact corpus heavy hitters — terms occurring more than
+    ``total_tokens // denom`` times — with a MERGEABLE MISRA-GRIES sketch
+    as the candidate pruner (Misra & Gries 1982; mergeable-summaries form,
+    Agarwal et al. 2012): output ``(term, cnt)`` with EXACT counts.
+
+    Why a sketch at all: the exact groupby ships one row per distinct term
+    per batch; the MG summary caps that at ``mg_k`` rows per batch
+    regardless of batch vocabulary — the shuffle volume becomes
+    ``mg_k × batches``, independent of corpus vocabulary.  MG undercounts
+    by at most ``batch_tokens/(mg_k+1)`` per batch (the classic decrement
+    bound), so summing summaries undercounts any term by at most
+    ``N/(mg_k+1)`` total: every term with true count > N//denom survives
+    when ``mg_k + 1 > denom`` (here 4000 ≥ 2×1000 — safety margin), making
+    the MG pass a guaranteed-superset CANDIDATE filter.  A second,
+    candidate-filtered exact counting pass (the candidate set is ≤
+    sketch-capacity-scale — broadcast once) restores exact counts, so the
+    DuckDB mirror (plain GROUP BY … HAVING count > total//denom) matches
+    hash-for-hash.  Superset property and exactness are pytest-pinned
+    against brute force on skewed fixtures."""
+    from ..stages.grouped import hash_partitioned_agg
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    TOTAL_KEY = "\x00total\x00"  # impossible token (tokens never contain \x00)
+
+    def _mg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.strip().str.split(RE_WS)
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "")]
+        n = len(ex)
+        vc = ex.value_counts()
+        if len(vc) > mg_k:
+            d = int(vc.iloc[mg_k])  # the (k+1)-th largest count
+            vc = (vc.iloc[:mg_k] - d)
+            vc = vc[vc > 0]
+        out = pd.DataFrame({"term": vc.index.astype(object),
+                            "mg": vc.to_numpy(dtype="int64")})
+        # one reserved row per batch carries the batch token total, so the
+        # combine can compute N without a second corpus pass
+        return pd.concat(
+            [out, pd.DataFrame({"term": [TOTAL_KEY], "mg": np.int64(n)})],
+            ignore_index=True,
+        )
+
+    def _mg_sum(d: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in d.columns:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "mg": pd.Series([], dtype="int64")})
+        return d.groupby("term", sort=False, as_index=False)["mg"].sum()
+
+    mg = hash_partitioned_agg(
+        docs.map_batches(_mg_partial, batch_format="pandas"),
+        ["term"], _mg_sum, num_parts=num_parts,
+    ).to_pandas()  # ≤ mg_k·batches rows pre-combine, sketch-scale after
+    if not len(mg):
+        import pyarrow as pa
+        import ray.data as rd
+
+        # empty pandas blocks lose their schema in Ray — pin it via Arrow
+        return rd.from_arrow(pa.table({"term": pa.array([], pa.string()),
+                                       "cnt": pa.array([], pa.int64())}))
+    total = int(mg.loc[mg["term"] == TOTAL_KEY, "mg"].sum())
+    thresh = total // denom
+    # superset filter: true > thresh ⟹ mg ≥ true − N/(mg_k+1) > thresh − N/(mg_k+1)
+    floor_bound = thresh - total // (mg_k + 1) - 1
+    cand = mg[(mg["term"] != TOTAL_KEY) & (mg["mg"] > floor_bound)]
+    cand_ref = ray.put(frozenset(cand["term"]))
+
+    def _exact_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cands = ray.get(cand_ref)
+        toks = batch["text"].str.lower().str.strip().str.split(RE_WS)
+        ex = toks.explode()
+        ex = ex[ex.notna() & (ex != "") & ex.isin(cands)]
+        vc = ex.value_counts()
+        return pd.DataFrame({"term": vc.index.astype(object),
+                             "cnt": vc.to_numpy(dtype="int64")})
+
+    def _cnt_sum(d: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in d.columns:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return d.groupby("term", sort=False, as_index=False)["cnt"].sum()
+
+    exact = hash_partitioned_agg(
+        docs.map_batches(_exact_partial, batch_format="pandas"),
+        ["term"], _cnt_sum, num_parts=num_parts,
+    )
+
+    def _final(d: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in d.columns or not len(d):
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        keep = d["cnt"].astype("int64") > thresh
+        return pd.DataFrame({"term": d["term"][keep],
+                             "cnt": d["cnt"][keep].astype("int64")})
+
+    return exact.map_batches(_final, batch_format="pandas")

@@ -633,6 +633,15 @@ def q_pipeline_counters(sf_dir: str):
                          "v": pd.Series([v for _, v in out], dtype="int64")})
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact corpus heavy hitters (terms > total_tokens // 1000) with a
+    mergeable Misra-Gries sketch as the candidate pruner — shuffle volume
+    capped at sketch-size × batches instead of corpus vocabulary; a
+    candidate-filtered exact re-count restores mirror-exact counts
+    (pipelines/textops.py:heavy_hitters_ds)."""
+    return textops.heavy_hitters_ds(sf_dir)
+
+
 def q_mention_coverage(sf_dir: str):
     """G9 driver check — entity-level set precision/recall/F1 of the
     mention detector's surface vocabulary vs the raw node-name vocabulary
@@ -1244,9 +1253,9 @@ QUERIES = {
     "token_budget": q_token_budget,
     "pipeline_counters": q_pipeline_counters,
     "mention_coverage": q_mention_coverage,
+    "heavy_hitters": q_heavy_hitters,
     "simsearch_topk": q_simsearch_topk,
     "media_features": q_media_features,
-    "rag_topk": q_rag_topk,
     "curate_corpus": q_curate_corpus,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
@@ -1284,9 +1293,13 @@ QUERIES = {
     # kg_pages_without_links (+9) for the new mention_coverage mirror (its
     # reduce-side anti-join machinery is the same tagged-union set compare
     # mention_coverage itself drives in-cap).  All still run in
-    # tools/check_driver.py and pytest every session.  Next round: rotate
-    # these 29 back in.
+    # rag_topk (+10) for the new heavy_hitters mirror (its cosine search is
+    # byte-for-byte diff-verified against the EXECUTED reference rag_query
+    # in tests/test_reference_parity.py, and its encode path stays in-cap
+    # via embed_relations).  All still run in tools/check_driver.py and
+    # pytest every session.  Next round: rotate these 30 back in.
     "kg_pages_without_links": q_kg_pages_without_links,
+    "rag_topk": q_rag_topk,
     "sample_stratified": q_sample_stratified,
     "repetition_filter": q_repetition_filter,
     "events_lag": q_events_lag,
@@ -2389,6 +2402,17 @@ def build_oracle_sql() -> dict[str, str]:
                    feat_idx::BIGINT AS feat_idx,
                    byte_val / CAST(255 AS DOUBLE) AS feat_val
             FROM d
+        """,
+        "heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+                FROM documents WHERE trim(text) != ''
+            ),
+            t AS (SELECT term FROM toks WHERE term != ''),
+            tot AS (SELECT count(*)::BIGINT AS n FROM t)
+            SELECT term, count(*)::BIGINT AS cnt
+            FROM t, tot GROUP BY term, tot.n
+            HAVING count(*) > tot.n // 1000
         """,
         "mention_coverage": f"""
             WITH m AS (SELECT DISTINCT entity AS name

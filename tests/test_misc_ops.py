@@ -302,3 +302,37 @@ def test_token_budget_greedy_equals_sql_window_rule():
         """).fetchone()
         assert (int(got[0]), int(got[1])) == (n_kept, est_kept), (
             trial, items, budget)
+
+
+def test_heavy_hitters_exact_vs_brute_force(ray_session, tmp_path):
+    """Skewed fixture: the MG-pruned two-pass result must equal the plain
+    brute-force rule (count > total // denom) exactly, and the sketch pass
+    must never prune a true heavy hitter (tiny mg_k stresses the bound)."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray.pipelines.textops import heavy_hitters_ds
+
+    rng = np.random.default_rng(41)
+    # Zipf-ish: 'hot' dominates, a mid tier, and a long unique tail
+    words = (["hot"] * 400 + ["warm"] * 120 + ["mild"] * 60
+             + [f"u{i}" for i in range(800)])
+    rng.shuffle(words)
+    texts = [" ".join(words[i::10]) for i in range(10)]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(10), pa.int64()), "text": texts}),
+        str(tmp_path / "documents.parquet"))
+
+    denom = 20  # threshold = 1380 // 20 = 69 → {hot, warm} qualify
+    got = (heavy_hitters_ds(str(tmp_path), denom=denom, mg_k=64)
+           .to_pandas().sort_values("term").reset_index(drop=True))
+    wc = Counter(w for t in texts for w in t.split())
+    total = sum(wc.values())
+    want = sorted((t, c) for t, c in wc.items() if c > total // denom)
+    assert [(r.term, r.cnt) for r in got.itertuples()] == want
+    assert set(got["term"]) == {"hot", "warm"}
+    # exactness: counts are TRUE counts, not MG lower bounds
+    assert int(got.set_index("term").loc["hot", "cnt"]) == wc["hot"]
