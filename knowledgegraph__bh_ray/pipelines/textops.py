@@ -1528,3 +1528,38 @@ def heavy_hitters_ds(sf_dir: str, denom: int = 1000, mg_k: int = 4000,
                              "cnt": d["cnt"][keep].astype("int64")})
 
     return exact.map_batches(_final, batch_format="pandas")
+
+
+def sample_uniform_ds(sf_dir: str, k: int = 100, seed: str = "u0"):
+    """Mergeable uniform k-sample — the bottom-k sketch: keep the k rows
+    with the SMALLEST seeded md5 draw.  Per-batch partial bottom-k is
+    associative (only a batch's k smallest keys can survive globally), so
+    the corpus never shuffles at all: one embarrassingly-parallel partial
+    pass, then ONE tiny combine over ≤ k×batches rows.  Deterministic and
+    rerun-stable like the other seeded draws (vectorized single-block MD5,
+    digest-byte order ≡ the mirror's hexdigest order); output
+    ``(doc_id, rank)`` with rank 1..k in draw order."""
+    from ..functions.hashing import seeded_md5_sortkey
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype="int64")
+        key = seeded_md5_sortkey(seed, ids)
+        out = pd.DataFrame({"doc_id": ids, "k": key})
+        # k is a bytes column — nsmallest is numeric-only; stable sort+head
+        return out.sort_values(["k", "doc_id"], kind="mergesort").head(k)
+
+    def _combine(batch: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in batch.columns or not len(batch):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int64")})
+        top = batch.sort_values(["k", "doc_id"], kind="mergesort").head(k)
+        return pd.DataFrame({"doc_id": top["doc_id"].to_numpy(dtype="int64"),
+                             "rank": np.arange(1, len(top) + 1, dtype="int64")})
+
+    return (
+        docs.map_batches(_partial, batch_format="pandas")
+        .repartition(1)  # ≤ k×batches tiny rows
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+    )

@@ -642,6 +642,13 @@ def q_heavy_hitters(sf_dir: str):
     return textops.heavy_hitters_ds(sf_dir)
 
 
+def q_sample_uniform(sf_dir: str):
+    """Mergeable uniform k-sample (bottom-k sketch over seeded md5 draws):
+    ZERO shuffles — associative per-batch bottom-k partials, one tiny
+    combine (pipelines/textops.py:sample_uniform_ds)."""
+    return textops.sample_uniform_ds(sf_dir, k=100)
+
+
 def q_mention_coverage(sf_dir: str):
     """G9 driver check — entity-level set precision/recall/F1 of the
     mention detector's surface vocabulary vs the raw node-name vocabulary
@@ -1254,10 +1261,10 @@ QUERIES = {
     "pipeline_counters": q_pipeline_counters,
     "mention_coverage": q_mention_coverage,
     "heavy_hitters": q_heavy_hitters,
+    "sample_uniform": q_sample_uniform,
     "simsearch_topk": q_simsearch_topk,
     "media_features": q_media_features,
     "curate_corpus": q_curate_corpus,
-    "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "inverted_index": q_inverted_index,
     "pii_scrub": q_pii_scrub,
@@ -1297,9 +1304,14 @@ QUERIES = {
     # byte-for-byte diff-verified against the EXECUTED reference rag_query
     # in tests/test_reference_parity.py, and its encode path stays in-cap
     # via embed_relations).  All still run in tools/check_driver.py and
-    # pytest every session.  Next round: rotate these 30 back in.
+    # decontaminate (+11) for the new sample_uniform mirror (its n-gram
+    # probe kernel is the in-cap dup_passage / dedup_substring gram path,
+    # and the broadcast-probe pattern stays exercised by heavy_hitters'
+    # candidate broadcast).  All still run in tools/check_driver.py and
+    # pytest every session.  Next round: rotate these 31 back in.
     "kg_pages_without_links": q_kg_pages_without_links,
     "rag_topk": q_rag_topk,
+    "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
     "repetition_filter": q_repetition_filter,
     "events_lag": q_events_lag,
@@ -2402,6 +2414,13 @@ def build_oracle_sql() -> dict[str, str]:
                    feat_idx::BIGINT AS feat_idx,
                    byte_val / CAST(255 AS DOUBLE) AS feat_val
             FROM d
+        """,
+        "sample_uniform": """
+            SELECT doc_id, rank FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY md5('u0:' || doc_id)) AS rank
+                FROM documents)
+            WHERE rank <= 100
         """,
         "heavy_hitters": """
             WITH toks AS (
