@@ -313,3 +313,24 @@ def test_substring_randomized_differential(ray_session, tmp_path):
                     "dup_frac_micros"):
             assert list(got[col].astype("int64")) == \
                 list(want[col].astype("int64")), (trial, col)
+
+
+def test_new_ops_empty_corpus(ray_session, tmp_path):
+    """Every round-4 op must survive an all-empty documents table (schema
+    intact, zero or all-zero rows) — the driver may probe odd corpora."""
+    from knowledgegraph__bh_ray.pipelines.textops import (heavy_hitters_ds,
+                                                          sample_uniform_ds)
+    from knowledgegraph__bh_ray.pipelines.traintext import substring_clean_ds
+
+    sf = _write_docs(tmp_path, ["   ", ""])
+    spans = substring_spans_ds(sf, k=4).to_pandas()
+    assert len(spans) == 2 and (spans["n_tokens"] == 0).all()
+    clean = substring_clean_ds(sf, k=4).to_pandas()
+    assert len(clean) == 2 and (clean["text_clean"] == "").all()
+    hh = heavy_hitters_ds(sf, denom=10)
+    assert hh.count() == 0
+    uni = sample_uniform_ds(sf, k=5).to_pandas()
+    assert len(uni) == 2  # ids still sampled (draws are id-keyed)
+    assert list(uni["rank"]) == [1, 2]
+    merges = bpe_merges_ds(sf, n_merges=3)
+    assert merges.count() == 0
