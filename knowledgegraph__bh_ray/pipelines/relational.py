@@ -629,3 +629,60 @@ def events_sessionize_ds(sf_dir: str, gap_minutes: int = 30):
         .groupby(PART_COL)
         .map_groups(_sessions, batch_format="pandas")
     )
+
+
+def events_quantiles_sampled_ds(sf_dir: str, k: int = 4096,
+                                qs: tuple = QUANTILES, seed: str = "q0"):
+    """APPROXIMATE quantiles of a continuous column — the scale path the
+    exact variant can't take: ``events_quantiles_ds``'s histogram shuffle
+    is ∝ |distinct values|, which for continuous doubles IS the row count.
+    This op draws a deterministic uniform k-sample (the bottom-k sketch
+    over seeded md5 draws keyed by event_id — associative per-batch
+    partials, ZERO data shuffles) and takes the sample's quantiles with
+    the same 1-indexed ``max(1, ceil(q·n))`` percentile_disc rule.
+
+    Error bound (Dvoretzky–Kiefer–Wolfowitz): a uniform k-sample's
+    empirical CDF deviates from the population CDF by at most
+    ε = sqrt(ln(2/δ)/(2k)) with probability 1−δ — k=4096 gives ε≈0.030 at
+    δ=10⁻³, i.e. each estimate is the true value at rank q±ε.  Rank error
+    is pytest-pinned against the exact quantiles.  Deterministic and
+    mergeable (rerun-stable, resumable) like every other seeded draw.
+    Output: one row per q — (q_micros, value_est, sample_n)."""
+    import math
+
+    from ..functions.hashing import seeded_md5_sortkey
+
+    events = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy(dtype="int64")
+        key = seeded_md5_sortkey(seed, ids)
+        out = pd.DataFrame({"k": key,
+                            "value": batch["value"].to_numpy(dtype="float64")})
+        return out.sort_values("k", kind="mergesort").head(k)
+
+    def _combine(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"q_micros": pd.Series([], dtype="int64"),
+                              "value_est": pd.Series([], dtype="float64"),
+                              "sample_n": pd.Series([], dtype="int64")})
+        if "k" not in batch.columns or not len(batch):
+            return empty
+        top = batch.sort_values("k", kind="mergesort").head(k)
+        vals = np.sort(top["value"].to_numpy(dtype="float64"))
+        n = len(vals)
+        rows = {"q_micros": [], "value_est": [], "sample_n": []}
+        for q in qs:
+            pos = max(1, math.ceil(q * n))  # percentile_disc rule
+            rows["q_micros"].append(int(round(q * 1_000_000)))
+            rows["value_est"].append(float(vals[pos - 1]))
+            rows["sample_n"].append(n)
+        out = pd.DataFrame(rows)
+        out["q_micros"] = out["q_micros"].astype("int64")
+        out["sample_n"] = out["sample_n"].astype("int64")
+        return out
+
+    return (
+        events.map_batches(_partial, batch_format="pandas")
+        .repartition(1)  # ≤ k×batches tiny rows
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+    )

@@ -1183,6 +1183,15 @@ def q_dedup_substring_clean(sf_dir: str):
     return substring_clean_ds(sf_dir, k=SUBSTRING_K)
 
 
+def q_events_quantiles_sampled(sf_dir: str):
+    """Approximate quantiles of a CONTINUOUS column via a deterministic
+    bottom-k uniform sample (DKW rank-error bound ε≈0.03 at k=4096) — the
+    scale path where the exact histogram shuffle (∝ distinct values) is
+    unusable.  Non-SQL (sampled); rank error pytest-pinned vs the exact
+    quantiles (pipelines/relational.py:events_quantiles_sampled_ds)."""
+    return relational.events_quantiles_sampled_ds(sf_dir)
+
+
 def q_bpe_encode(sf_dir: str):
     """Encode side of the tokenizer story: train the 30-merge BPE table,
     then one shuffle-free map_batches pass over the corpus with a
@@ -1341,6 +1350,7 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "bigram_top": q_bigram_top,
     # --- no_oracle, never driver-checked (newest first) ---
+    "events_quantiles_sampled": q_events_quantiles_sampled,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "dedup_semantic": q_dedup_semantic,

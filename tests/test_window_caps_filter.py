@@ -356,3 +356,30 @@ def test_lm_perplexity_dispatch_equivalence(ray_session):
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_sampled_quantiles_rank_error_bound(ray_session):
+    """DKW gate: each sampled-quantile estimate's TRUE rank must sit within
+    ε of the requested q (k=4096 ⇒ ε≈0.03; asserted at 0.05 for finite-δ
+    slack), and the op must be deterministic across runs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray.pipelines.relational import (
+        events_quantiles_sampled_ds)
+
+    sf = "/root/testdata/sf0.01"
+    got = (events_quantiles_sampled_ds(sf).to_pandas()
+           .sort_values("q_micros").reset_index(drop=True))
+    vals = np.sort(pq.read_table(f"{sf}/events.parquet", columns=["value"])
+                   .column("value").to_numpy())
+    n = len(vals)
+    assert len(got) == 5
+    for r in got.itertuples():
+        q = r.q_micros / 1_000_000
+        true_rank = np.searchsorted(vals, r.value_est, side="right") / n
+        assert abs(true_rank - q) <= 0.05, (q, true_rank)
+    again = (events_quantiles_sampled_ds(sf).to_pandas()
+             .sort_values("q_micros").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
