@@ -1183,6 +1183,18 @@ def q_dedup_substring_clean(sf_dir: str):
     return substring_clean_ds(sf_dir, k=SUBSTRING_K)
 
 
+def q_embedding_clusters(sf_dir: str):
+    """First-class k-means assignment over the embeddings table (the IVF /
+    SemDeDup coarse quantizer as its own operator): driver-trained
+    centroids broadcast once, one shuffle-free matmul pass.  Non-SQL
+    (k-means); consistency with dedup_semantic's cluster ids is
+    pytest-pinned (stages/simsearch.py:embedding_clusters_ds)."""
+    from .stages.simsearch import embedding_clusters_ds
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_clusters_ds(emb, "vec_id", "embedding", n_centroids=16)
+
+
 def q_events_quantiles_sampled(sf_dir: str):
     """Approximate quantiles of a CONTINUOUS column via a deterministic
     bottom-k uniform sample (DKW rank-error bound ε≈0.03 at k=4096) — the
@@ -1351,6 +1363,7 @@ QUERIES = {
     "bigram_top": q_bigram_top,
     # --- no_oracle, never driver-checked (newest first) ---
     "events_quantiles_sampled": q_events_quantiles_sampled,
+    "embedding_clusters": q_embedding_clusters,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "dedup_semantic": q_dedup_semantic,

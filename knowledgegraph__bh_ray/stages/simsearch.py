@@ -264,3 +264,36 @@ def ivf_topk_ds(ds, queries: dict[int, np.ndarray], id_col: str, vec_col: str,
         _final, batch_format="pandas"
     )
     return ranked.map_batches(lambda d: _pin_rank_schema(d, id_col), batch_format="pandas")
+
+
+def embedding_clusters_ds(ds, id_col: str, vec_col: str,
+                          n_centroids: int = IVF_CENTROIDS):
+    """First-class k-means cluster assignment over an embedding corpus —
+    the coarse-quantizer step the IVF index and SemDeDup both build on,
+    exposed as its own operator: spherical k-means centroids from the
+    deterministic hash-ranked sample (driver-trained, vocabulary-scale,
+    broadcast ONCE via ray.put), then one shuffle-free matmul assignment
+    pass.  Output per vector: (id, cluster_id, sim_micros — cosine to the
+    assigned centroid in exact integer micros via floor division)."""
+    import ray
+
+    C = train_centroids(ds, id_col, vec_col, n_centroids)
+    cref = ray.put(C)
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in batch.columns or not len(batch):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cluster_id": pd.Series([], dtype="int64"),
+                                 "sim_micros": pd.Series([], dtype="int64")})
+        Cm = ray.get(cref)
+        M = _normalize(np.vstack(batch[vec_col].to_numpy()).astype(np.float64))
+        S = M @ Cm.T
+        cid = S.argmax(axis=1)
+        sim = S[np.arange(len(M)), cid]
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64").to_numpy(),
+            "cluster_id": cid.astype("int64"),
+            "sim_micros": np.floor(sim * 1_000_000).astype("int64"),
+        })
+
+    return ds.map_batches(_assign, batch_format="pandas")

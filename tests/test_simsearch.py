@@ -81,3 +81,31 @@ def test_ivf_recall_floor(ray_session):
         a = set(ivf.loc[ivf["query_id"] == q, "vec_id"])
         recalls.append(len(a & b) / len(b))
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_embedding_clusters_consistent_with_semdedup(ray_session):
+    """The standalone cluster-assignment op must reproduce EXACTLY the
+    cluster ids semantic_dedup assigns for the same corpus and centroid
+    count (both build on train_centroids + the same matmul assignment),
+    and similarities must be valid cosines."""
+    import pandas as pd
+
+    from knowledgegraph__bh_ray.sources import read_table
+    from knowledgegraph__bh_ray.stages.dedup import semantic_dedup_ds
+    from knowledgegraph__bh_ray.stages.simsearch import embedding_clusters_ds
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    got = (embedding_clusters_ds(emb, "vec_id", "embedding", n_centroids=8)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    emb2 = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    sem = (semantic_dedup_ds(emb2, "vec_id", "embedding", n_centroids=8)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(got) == len(sem) > 0
+    assert list(got["cluster_id"]) == list(sem["cluster_id"])
+    assert got["sim_micros"].between(-1_000_000, 1_000_000).all()
+    # determinism
+    emb3 = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+    again = (embedding_clusters_ds(emb3, "vec_id", "embedding", n_centroids=8)
+             .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
