@@ -686,3 +686,65 @@ def events_quantiles_sampled_ds(sf_dir: str, k: int = 4096,
         .repartition(1)  # ≤ k×batches tiny rows
         .map_batches(_combine, batch_format="pandas", batch_size=None)
     )
+
+
+def events_quantiles_sampled_by_type_ds(sf_dir: str, k: int = 1024,
+                                        qs: tuple = QUANTILES,
+                                        seed: str = "q1"):
+    """Per-key approximate quantiles of a continuous column — the grouped
+    form of ``events_quantiles_sampled_ds``: a deterministic bottom-k
+    uniform sample PER event_type (per-batch grouped bottom-k is
+    associative per key — only a batch's k smallest draws for a key can
+    survive globally), ONE small type-hash exchange of ≤ k×|types|×batches
+    sample rows, then the percentile_disc rule per type.  DKW bound per
+    key: ε = sqrt(ln(2/δ)/(2k)) over that key's sample.  Output one row
+    per (event_type, q): (event_type, q_micros, value_est, sample_n)."""
+    import math
+
+    from ..functions.hashing import seeded_md5_sortkey
+    from ..stages.grouped import PART_COL, _key_hash
+
+    num_parts = 4
+    events = read_table(sf_dir, "events",
+                        columns=["event_id", "event_type", "value"])
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["event_id"].to_numpy(dtype="int64")
+        out = pd.DataFrame({
+            "event_type": batch["event_type"],
+            "k": seeded_md5_sortkey(seed, ids),
+            "value": batch["value"].to_numpy(dtype="float64"),
+        }).sort_values(["event_type", "k"], kind="mergesort")
+        out = out.groupby("event_type", sort=False).head(k)
+        out[PART_COL] = (_key_hash(out, ["event_type"]) % num_parts).astype("int64")
+        return out
+
+    def _quant(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                              "q_micros": pd.Series([], dtype="int64"),
+                              "value_est": pd.Series([], dtype="float64"),
+                              "sample_n": pd.Series([], dtype="int64")})
+        if "event_type" not in group.columns or not len(group):
+            return empty
+        rows = {"event_type": [], "q_micros": [], "value_est": [], "sample_n": []}
+        g = group.sort_values(["event_type", "k"], kind="mergesort")
+        for etype, sub in g.groupby("event_type", sort=False):
+            vals = np.sort(sub["value"].to_numpy(dtype="float64")[:k])
+            n = len(vals)
+            for q in qs:
+                pos = max(1, math.ceil(q * n))  # percentile_disc rule
+                rows["event_type"].append(etype)
+                rows["q_micros"].append(int(round(q * 1_000_000)))
+                rows["value_est"].append(float(vals[pos - 1]))
+                rows["sample_n"].append(n)
+        out = pd.DataFrame(rows)
+        out["q_micros"] = out["q_micros"].astype("int64")
+        out["sample_n"] = out["sample_n"].astype("int64")
+        return out
+
+    return (
+        events.map_batches(_partial, batch_format="pandas")
+        .repartition(num_parts)
+        .groupby(PART_COL)
+        .map_groups(_quant, batch_format="pandas")
+    )

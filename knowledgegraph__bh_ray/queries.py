@@ -1183,6 +1183,14 @@ def q_dedup_substring_clean(sf_dir: str):
     return substring_clean_ds(sf_dir, k=SUBSTRING_K)
 
 
+def q_events_quantiles_sampled_by_type(sf_dir: str):
+    """Per-key sampled quantiles (grouped bottom-k, DKW bound per key) —
+    the grouped form of events_quantiles_sampled; one small type-hash
+    exchange of sample rows only.  Non-SQL (sampled); rank error
+    pytest-pinned per type."""
+    return relational.events_quantiles_sampled_by_type_ds(sf_dir)
+
+
 def q_embedding_clusters(sf_dir: str):
     """First-class k-means assignment over the embeddings table (the IVF /
     SemDeDup coarse quantizer as its own operator): driver-trained
@@ -1363,6 +1371,7 @@ QUERIES = {
     "bigram_top": q_bigram_top,
     # --- no_oracle, never driver-checked (newest first) ---
     "events_quantiles_sampled": q_events_quantiles_sampled,
+    "events_quantiles_sampled_by_type": q_events_quantiles_sampled_by_type,
     "embedding_clusters": q_embedding_clusters,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,

@@ -383,3 +383,35 @@ def test_sampled_quantiles_rank_error_bound(ray_session):
     again = (events_quantiles_sampled_ds(sf).to_pandas()
              .sort_values("q_micros").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_sampled_quantiles_by_type_rank_error(ray_session):
+    """Per-key DKW gate: within each event_type, every estimate's true
+    rank (within that type's values) must sit within 0.08 of q (k=1024 ⇒
+    ε≈0.06 at δ=10⁻³), and the op is deterministic."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from knowledgegraph__bh_ray.pipelines.relational import (
+        events_quantiles_sampled_by_type_ds)
+
+    sf = "/root/testdata/sf0.01"
+    got = (events_quantiles_sampled_by_type_ds(sf).to_pandas()
+           .sort_values(["event_type", "q_micros"]).reset_index(drop=True))
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    types = sorted(ev["event_type"].unique())
+    assert sorted(got["event_type"].unique()) == types
+    for etype, sub in ev.groupby("event_type"):
+        vals = np.sort(sub["value"].to_numpy())
+        n = len(vals)
+        rows = got[got["event_type"] == etype]
+        assert len(rows) == 5
+        for r in rows.itertuples():
+            q = r.q_micros / 1_000_000
+            true_rank = np.searchsorted(vals, r.value_est, side="right") / n
+            assert abs(true_rank - q) <= 0.08, (etype, q, true_rank)
+    again = (events_quantiles_sampled_by_type_ds(sf).to_pandas()
+             .sort_values(["event_type", "q_micros"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
