@@ -1244,16 +1244,34 @@ def q_bpe_merges(sf_dir: str):
 # changed this round (shuffle_shard / sample_weighted / source_cap →
 # vectorized md5 draws; kg_node_similarity → default stop-hub cap).
 QUERIES = {
-    # --- SQL-mirrored, in-cap this round ---
-    # first driver rows ever:
+    # --- SQL-mirrored, in-cap this round.  Ordered by CHECK PRIORITY so
+    # the window degrades gracefully if the driver's cap lands below 50:
+    # (1) mirrors NEW this round (no row exists anywhere), (2) mirrors
+    # getting their first-ever row, (3) mirrors whose CODE changed this
+    # round, (4) the r3-displaced rotation (last row: r2), (5) r3-only
+    # greens being re-confirmed. ---
+    # (1) new mirrors this round:
+    "dedup_substring": q_dedup_substring,
+    "dedup_substring_clean": q_dedup_substring_clean,
+    "export_json": q_export_json,
+    "csv_roundtrip": q_csv_roundtrip,
+    "prompt_assembly": q_prompt_assembly,
+    "token_budget": q_token_budget,
+    "pipeline_counters": q_pipeline_counters,
+    "mention_coverage": q_mention_coverage,
+    "heavy_hitters": q_heavy_hitters,
+    "sample_uniform": q_sample_uniform,
+    # (2) first driver rows ever:
     "embed_relations": q_embed_relations,
     "mix_corpora": q_mix_corpora,
-    # code changed this round — must re-green:
+    # (3) code changed this round — must re-green:
     "kg_node_similarity": q_kg_node_similarity,
     "shuffle_shard": q_shuffle_shard,
     "sample_weighted": q_sample_weighted,
     "source_cap": q_source_cap,
-    # rest of the r3-displaced 21 (last row: r2):
+    "lm_perplexity": q_lm_perplexity,
+    "dup_passage": q_dup_passage,
+    # (4) rest of the r3-displaced 21 (last row: r2):
     "kg_nodes_raw": q_kg_nodes_raw,
     "kg_entity_link": q_kg_entity_link,
     "kg_cooccurrence": q_kg_cooccurrence,
@@ -1280,17 +1298,6 @@ QUERIES = {
     "events_running_total": q_events_running_total,
     "quality_filter": q_quality_filter,
     "profile_documents": q_profile_documents,
-    # new this round — first driver rows:
-    "dedup_substring": q_dedup_substring,
-    "dedup_substring_clean": q_dedup_substring_clean,
-    "export_json": q_export_json,
-    "csv_roundtrip": q_csv_roundtrip,
-    "prompt_assembly": q_prompt_assembly,
-    "token_budget": q_token_budget,
-    "pipeline_counters": q_pipeline_counters,
-    "mention_coverage": q_mention_coverage,
-    "heavy_hitters": q_heavy_hitters,
-    "sample_uniform": q_sample_uniform,
     "simsearch_topk": q_simsearch_topk,
     "media_features": q_media_features,
     "curate_corpus": q_curate_corpus,
@@ -1298,8 +1305,6 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "pii_scrub": q_pii_scrub,
     "boilerplate_strip": q_boilerplate_strip,
-    "lm_perplexity": q_lm_perplexity,
-    "dup_passage": q_dup_passage,
     # --- SQL-mirrored but BEYOND the ~50-row cap THIS round.  All 21 are
     # hash-green in CORRECTNESS_r03.json on code unchanged since (checked:
     # none of this round's edits touch their pipelines), so after this
