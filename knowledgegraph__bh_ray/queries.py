@@ -1305,44 +1305,39 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "pii_scrub": q_pii_scrub,
     "boilerplate_strip": q_boilerplate_strip,
-    # --- SQL-mirrored but BEYOND the ~50-row cap THIS round.  All 21 are
-    # hash-green in CORRECTNESS_r03.json on code unchanged since (checked:
-    # none of this round's edits touch their pipelines), so after this
-    # round every one of the 72 mirrors has a row ≤1 round old.  20 are
-    # the twice-proven r2∩r3 greens; bigram_top is the +1 — its n-gram
-    # partial-agg machinery is exercised verbatim by the in-cap
-    # dup_passage and tfidf path — and sample_stratified the +2 (r3-green;
-    # displaced to make room for the NEW dedup_substring mirror above;
-    # its seeded-rank machinery is the same family as the in-cap
-    # source_cap / sample_weighted / shuffle_shard) — and top_anchor_texts
-    # the +3 (r3-green; displaced for the new dedup_substring_clean
-    # mirror; its groupby-count-top machinery is the bigram/tfidf family).
-    # export_graph (+4) and distinct_users_by_type (+5) rotate out for the
-    # new export_json / csv_roundtrip mirrors: export_graph's CSV-sink
-    # count is subsumed by csv_roundtrip (same sink, now also READ BACK)
-    # and its TTL sink is differential-tested vs the executed csv2ttl;
-    # distinct_users_by_type's salted distinct-count machinery is the
-    # in-cap profile_documents family.  All still run in
-    # repetition_filter (+6) rotates out for the new prompt_assembly
-    # mirror (its shuffle-free vectorized-scan family stays represented
-    # in-cap by pii_scrub); events_lag (+7) for the new token_budget
-    # mirror (the window family stays represented in-cap by
-    # events_running_total / events_hopping_window / events_asof_join /
-    # events_sessionize); embed_concepts (+8) for the new
-    # pipeline_counters mirror (its md5-arithmetic encode stand-in is the
-    # exact path the in-cap embed_relations and rag_topk drive).  All
-    # kg_pages_without_links (+9) for the new mention_coverage mirror (its
-    # reduce-side anti-join machinery is the same tagged-union set compare
-    # mention_coverage itself drives in-cap).  All still run in
-    # rag_topk (+10) for the new heavy_hitters mirror (its cosine search is
-    # byte-for-byte diff-verified against the EXECUTED reference rag_query
-    # in tests/test_reference_parity.py, and its encode path stays in-cap
-    # via embed_relations).  All still run in tools/check_driver.py and
-    # decontaminate (+11) for the new sample_uniform mirror (its n-gram
-    # probe kernel is the in-cap dup_passage / dedup_substring gram path,
-    # and the broadcast-probe pattern stays exercised by heavy_hitters'
-    # candidate broadcast).  All still run in tools/check_driver.py and
-    # pytest every session.  Next round: rotate these 31 back in.
+    # --- SQL-mirrored but BEYOND the ~50-row cap THIS round.  Every one
+    # is hash-green in CORRECTNESS_r03.json on code unchanged since
+    # (checked: none of this round's edits touch their pipelines), so
+    # after this round every one of the 81 mirrors has a driver row ≤1
+    # round old.  The 20 twice-proven r2∩r3 greens lead; the other 11 are
+    # r3-only greens displaced to make in-cap room for this round's NEW
+    # mirrors, each with a coverage rationale:
+    #  * bigram_top — n-gram partial-agg machinery ≡ the in-cap
+    #    dup_passage / tfidf path;
+    #  * sample_stratified — seeded-rank sampling ≡ the in-cap
+    #    source_cap / sample_weighted / shuffle_shard family;
+    #  * top_anchor_texts — groupby-count-top ≡ the bigram/tfidf family;
+    #  * export_graph — its CSV-sink count is subsumed by csv_roundtrip
+    #    (same sink, now also READ BACK) and its TTL sink is
+    #    differential-tested vs the executed csv2ttl;
+    #  * distinct_users_by_type — salted distinct counts ≡ the in-cap
+    #    profile_documents machinery;
+    #  * repetition_filter — shuffle-free vectorized scan ≡ in-cap
+    #    pii_scrub;
+    #  * events_lag — the window family stays represented in-cap by
+    #    events_running_total / events_hopping_window / events_asof_join;
+    #  * embed_concepts — its md5-arithmetic encode stand-in is the exact
+    #    path the in-cap embed_relations drives;
+    #  * kg_pages_without_links — reduce-side anti-join ≡ the tagged-union
+    #    set compare the in-cap mention_coverage drives;
+    #  * rag_topk — its cosine search is byte-for-byte diff-verified
+    #    against the EXECUTED reference rag_query in pytest, and its
+    #    encode path stays in-cap via embed_relations;
+    #  * decontaminate — its n-gram probe kernel is the in-cap
+    #    dup_passage / dedup_substring gram path, and the broadcast-probe
+    #    pattern stays exercised by heavy_hitters' candidate broadcast.
+    # All still run in tools/check_driver.py and pytest every session.
+    # Next round: rotate these 31 back in.
     "kg_pages_without_links": q_kg_pages_without_links,
     "rag_topk": q_rag_topk,
     "decontaminate": q_decontaminate,
