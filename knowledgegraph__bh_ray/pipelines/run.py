@@ -27,7 +27,7 @@ import ray.data as rd
 
 from ..functions.hashing import bucket_of
 from ..sources import read_pages
-from ..state.lineage import CounterActor, Manifest
+from ..state.lineage import Manifest, ShardedCounter
 from . import kg
 
 # fsspec's HTTP module needs aiohttp (absent here) and FAILS to import; a
@@ -110,7 +110,7 @@ def run_kg_pipeline(
     out_dir: str,
     num_shards: int = 8,
     resume_granularity: int = 1,
-    counter: "ray.actor.ActorHandle | None" = None,
+    counter: "ShardedCounter | None" = None,
     tagger: str = "gazetteer",
     _fail_after_units: int | None = None,
 ) -> dict:
@@ -126,7 +126,7 @@ def run_kg_pipeline(
 
     manifest = Manifest(out_dir)
     done = manifest.done_units()
-    counter = counter or CounterActor.remote()
+    counter = counter or ShardedCounter()
     completed_now = 0
 
     def _checkpoint_gate():
@@ -165,11 +165,10 @@ def run_kg_pipeline(
             # BLOCKING on purpose: fire-and-forget increments race the
             # driver's get_all after write_parquet (messages from worker
             # callers have no cross-caller ordering vs the driver's read —
-            # observed as undercounted manifests in a busy session).  One
-            # awaited actor call per ~100 ms batch is noise here; at extreme
-            # worker counts shard the counter actor by key hash instead of
-            # reverting to fire-and-forget.
-            ray.get(counter.incr_many.remote(stats))
+            # observed as undercounted manifests in a busy session).  The
+            # counter is SHARDED by worker pid so the awaited round-trips
+            # don't serialize all workers through one actor.
+            counter.incr_many_blocking(stats)
             return _add_shard(parsed, num_shards)
 
         ds = pages.map_batches(
@@ -182,7 +181,7 @@ def run_kg_pipeline(
         manifest.mark_done(
             unit,
             _dir_rows(group_dir),
-            counters=ray.get(counter.get_all.remote()),
+            counters=counter.get_all(),
             wall_sec=time.time() - t0,
         )
         _checkpoint_gate()
@@ -381,7 +380,7 @@ def run_kg_pipeline(
     return {
         "out_dir": out_dir,
         "records": manifest.records(),
-        "counters": ray.get(counter.get_all.remote()),
+        "counters": counter.get_all(),
     }
 
 

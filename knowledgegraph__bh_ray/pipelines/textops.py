@@ -1479,12 +1479,30 @@ def heavy_hitters_ds(sf_dir: str, denom: int = 1000, mg_k: int = 4000,
         if "term" not in d.columns:
             return pd.DataFrame({"term": pd.Series([], dtype=object),
                                  "mg": pd.Series([], dtype="int64")})
-        return d.groupby("term", sort=False, as_index=False)["mg"].sum()
+        out = d.groupby("term", sort=False, as_index=False)["mg"].sum()
+        # prune the merged table back to mg_k counters (mergeable-summaries
+        # merge: subtract the (mg_k+1)-th value — every prune removes
+        # ≥ (mg_k+1)·d mass, so the CUMULATIVE per-term undercount across
+        # all partial/combine prunes stays ≤ N/(mg_k+1), the same bound the
+        # candidate floor already assumes).  Without this, summation alone
+        # lets the combine output grow to mg_k × batches distinct terms —
+        # vocabulary-scale on a big corpus, not sketch-scale.  The reserved
+        # TOTAL_KEY row is exempt (it carries N, not a counter).
+        is_tot = out["term"] == TOTAL_KEY
+        rest = out[~is_tot]
+        if len(rest) > mg_k:
+            v = np.sort(rest["mg"].to_numpy(dtype="int64"))[::-1]
+            dsub = int(v[mg_k])
+            rest = rest.assign(mg=rest["mg"] - dsub)
+            rest = rest[rest["mg"] > 0]
+            out = pd.concat([rest, out[is_tot]], ignore_index=True)
+        out["mg"] = out["mg"].astype("int64")
+        return out
 
     mg = hash_partitioned_agg(
         docs.map_batches(_mg_partial, batch_format="pandas"),
         ["term"], _mg_sum, num_parts=num_parts,
-    ).to_pandas()  # ≤ mg_k·batches rows pre-combine, sketch-scale after
+    ).to_pandas()  # ≤ mg_k rows per partition — sketch-scale by construction
     if not len(mg):
         import pyarrow as pa
         import ray.data as rd

@@ -353,22 +353,40 @@ def _merge_syms(syms: list[str], left: str, right: str, merged: str) -> list[str
     return out
 
 
-def bpe_merges_ds(sf_dir: str, n_merges: int = 30, num_parts: int = 8):
+def bpe_merges_ds(sf_dir: str, n_merges: int = 30, num_parts: int = 8,
+                  merge_batch: int = 1):
     """documents → BPE merge table: (rank, left, right, merged, cnt) — the
-    first ``n_merges`` merges of classic word-level BPE (chars + ``</w>``
-    end marker, most-frequent adjacent pair per round, lexicographic
-    (left, right) tie-break, stop when no pair occurs ≥2 times).
+    first ``n_merges`` merges of word-level BPE (chars + ``</w>`` end
+    marker, most-frequent adjacent pair first, lexicographic (left, right)
+    tie-break, stop when no pair occurs ≥2 times).
+
+    ``merge_batch=1`` is classic Sennrich alg. 1 (one merge per
+    distributed round).  ``merge_batch=K>1`` is the batched-round variant
+    real tokenizer trainers use to kill the per-round latency floor: each
+    round greedily selects up to K pairs in (cnt desc, left, right) order,
+    skipping any pair that shares a symbol (left, right, OR the merged
+    string of a higher-ranked pick — the merged-string exclusion keeps
+    every selected count exact, since a pick can only create new
+    occurrences of pairs containing its merged symbol).  Symbol-disjoint
+    merges commute and cannot change each other's counts, so applying the
+    round's picks in rank order ≡ applying them simultaneously, and each
+    recorded cnt is the true round-start count.  The merge TABLE may
+    differ from classic's (classic re-ranks after every single merge);
+    both modes are pinned against their own serial reference in
+    tests/test_traintext.py.
 
     100-TB shape: round 0 pays ONE corpus-scale word-count shuffle; every
     later round touches only the word-TYPE table (sublinear in corpus
     size — Heaps' law), with per-round pair counting as a partial
     aggregate over type partitions and only the vocabulary-scale pair
-    table ever reaching the driver (argmax + tie-break there, like the
-    quantile/centroid driver steps elsewhere in this repo).  The types
-    Dataset is materialized per round — the iterative-state rule from
-    kcore/pagerank (a lazy 30-round DAG would re-execute everything).
+    table ever reaching the driver (greedy top-K + tie-break there, like
+    the quantile/centroid driver steps elsewhere in this repo).  The
+    types Dataset is materialized per round — the iterative-state rule
+    from kcore/pagerank (a lazy 30-round DAG would re-execute
+    everything).  With merge_batch=K the number of pair-count shuffles
+    drops ~K× for the same vocabulary.
 
-    Non-SQL (iterative argmax); truth = serial classic-BPE reference in
+    Non-SQL (iterative argmax); truth = serial references in
     tests/test_traintext.py."""
     import ray.data as rd
 
@@ -394,7 +412,7 @@ def bpe_merges_ds(sf_dir: str, n_merges: int = 30, num_parts: int = 8):
 
     types = words.map_batches(_to_syms, batch_format="pandas").materialize()
     merges = []
-    for rank in range(n_merges):
+    while len(merges) < n_merges:
         pairs = hash_partitioned_agg(
             types.map_batches(_pair_counts, batch_format="pandas"),
             ["left", "right"], _cnt_sum, num_parts=num_parts,
@@ -402,19 +420,35 @@ def bpe_merges_ds(sf_dir: str, n_merges: int = 30, num_parts: int = 8):
         pairs = pairs[pairs.get("cnt", pd.Series(dtype="int64")) >= 2]
         if not len(pairs):
             break
-        best = pairs.sort_values(["cnt", "left", "right"],
-                                 ascending=[False, True, True],
-                                 kind="mergesort").iloc[0]
-        left, right, cnt = str(best["left"]), str(best["right"]), int(best["cnt"])
-        merged = left + right
-        merges.append({"rank": np.int64(rank), "left": left, "right": right,
-                       "merged": merged, "cnt": np.int64(cnt)})
+        ranked = pairs.sort_values(["cnt", "left", "right"],
+                                   ascending=[False, True, True],
+                                   kind="mergesort")
+        # greedy symbol-disjoint top-K selection (K=1 ≡ classic argmax)
+        room = min(merge_batch, n_merges - len(merges))
+        picked: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in ranked.itertuples(index=False):
+            if len(picked) >= room:
+                break
+            left, right = str(row.left), str(row.right)
+            if left in used or right in used:
+                continue
+            picked.append((left, right, int(row.cnt)))
+            used.update((left, right, left + right))
+        for left, right, cnt in picked:
+            merges.append({"rank": np.int64(len(merges)), "left": left,
+                           "right": right, "merged": left + right,
+                           "cnt": np.int64(cnt)})
+        round_merges = [(l, r, l + r) for l, r, _ in picked]
 
-        def _apply(batch: pd.DataFrame, l=left, r=right, m=merged) -> pd.DataFrame:
+        def _apply(batch: pd.DataFrame, ms=tuple(round_merges)) -> pd.DataFrame:
             if "syms" not in batch.columns or not len(batch):
                 return batch
+            syms = list(batch["syms"])
+            for l, r, m in ms:
+                syms = [_merge_syms(s, l, r, m) for s in syms]
             return pd.DataFrame({
-                "syms": [_merge_syms(s, l, r, m) for s in batch["syms"]],
+                "syms": syms,
                 "n": batch["n"].astype("int64"),
             })
 
@@ -434,7 +468,8 @@ def bpe_merges_ds(sf_dir: str, n_merges: int = 30, num_parts: int = 8):
 
 
 def bpe_encode_ds(sf_dir: str, merges: list[tuple[str, str, str]] | None = None,
-                  n_merges: int = 30, num_parts: int = 8):
+                  n_merges: int = 30, num_parts: int = 8,
+                  merge_batch: int = 1):
     """Apply a trained BPE merge table to the corpus — the encode side of
     the tokenizer story: documents → (doc_id, n_words, n_pieces).
 
@@ -447,7 +482,8 @@ def bpe_encode_ds(sf_dir: str, merges: list[tuple[str, str, str]] | None = None,
     merge walk once per batch, not once per occurrence).  Truth = serial
     rank-ordered reference in tests/test_traintext.py."""
     if merges is None:
-        mt = bpe_merges_ds(sf_dir, n_merges=n_merges, num_parts=num_parts).to_pandas()
+        mt = bpe_merges_ds(sf_dir, n_merges=n_merges, num_parts=num_parts,
+                           merge_batch=merge_batch).to_pandas()
         merges = list(zip(mt["left"], mt["right"], mt["merged"]))
     merge_list = [(str(l), str(r), str(m)) for l, r, m in merges]
 

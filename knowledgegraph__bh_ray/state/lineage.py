@@ -51,6 +51,40 @@ class CounterActor:
         self.counts = {}
 
 
+class ShardedCounter:
+    """Counter spread over ``n_shards`` zero-CPU actors so awaited per-batch
+    increments don't serialize every worker through ONE actor at high
+    worker counts (the r4 race fix made increments blocking on purpose —
+    fire-and-forget actor calls from map UDFs have no ordering vs the
+    driver's post-barrier read; sharding keeps the ordering guarantee,
+    since each batch still awaits ITS shard before completing, while
+    spreading the per-batch round-trips across shards).
+
+    A worker routes by its pid — all increments from one worker process hit
+    one shard (cheap affinity, no key hashing needed for commutative sums);
+    ``get_all`` merges shard dicts AFTER the dataset barrier, when every
+    increment has already been awaited by its batch."""
+
+    def __init__(self, n_shards: int = 8):
+        self.shards = [CounterActor.remote() for _ in range(n_shards)]
+
+    def incr_many_blocking(self, stats: dict) -> None:
+        """Call from inside a map UDF: awaited, so the counts are visible
+        to any get_all() that runs after this batch's dataset barrier."""
+        h = self.shards[os.getpid() % len(self.shards)]
+        ray.get(h.incr_many.remote(stats))
+
+    def get_all(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for d in ray.get([h.get_all.remote() for h in self.shards]):
+            for k, v in d.items():
+                out[k] = out.get(k, 0) + int(v)
+        return out
+
+    def reset(self) -> None:
+        ray.get([h.reset.remote() for h in self.shards])
+
+
 class Manifest:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir

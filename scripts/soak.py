@@ -13,8 +13,15 @@ unavailable; instead:
     counters (``num bytes currently spilled`` / ``cumulative spill
     requests``), which the raylet refreshes periodically.
 
-Usage: [SOAK_REPLICAS=160] python scripts/soak.py
+Usage: [SOAK_REPLICAS=160] [SOAK_OBJECT_STORE_MB=2048] python scripts/soak.py
 Prints one JSON line with peak/spill numbers for PERF.md.
+
+``SOAK_OBJECT_STORE_MB`` caps the plasma store (round-5 verdict item #6:
+the soaks never spilled, so the spill path had never fired under
+pressure).  The printed ``result_hash`` is an order-insensitive digest of
+the pipeline's canonical-edges output — run once uncapped and once capped:
+equal hashes + ``spilled_mb > 0`` is the evidence that results are
+unchanged under object-store pressure and spilling.
 """
 
 from __future__ import annotations
@@ -55,9 +62,31 @@ def _debug_state() -> str:
         return ""
 
 
+def _result_hash(out_dir: str) -> str:
+    """Order-insensitive md5 of the canonical-edges output (sorted rows,
+    stringified) — the spill-correctness comparator."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(out_dir, "edges_canonical")
+    t = pq.read_table(d).to_pandas()
+    t = t[sorted(t.columns)].astype(str)
+    t = t.sort_values(list(t.columns), kind="mergesort")
+    h = hashlib.md5()
+    for c in t.columns:
+        h.update("\x1f".join(t[c]).encode("utf-8", "surrogatepass"))
+    return h.hexdigest()
+
+
 def main() -> None:
     shm_before = _shm_used()
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    store_mb = int(os.environ.get("SOAK_OBJECT_STORE_MB", "0"))
+    init_kw = {}
+    if store_mb:
+        init_kw["object_store_memory"] = store_mb * 1024 * 1024
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             **init_kw)
     from knowledgegraph__bh_ray.pagegen import ensure_pages
     from knowledgegraph__bh_ray.pipelines.run import run_kg_pipeline
 
@@ -96,6 +125,7 @@ def main() -> None:
 
     stop.set()
     t.join(timeout=5)
+    rhash = _result_hash(out_dir)
     total_store = int(ray.cluster_resources().get("object_store_memory", 0))
     mb = 1024 * 1024
     print(json.dumps({
@@ -108,6 +138,7 @@ def main() -> None:
         "peak_pinned_mb": peak["pinned"] // mb,
         "spilled_mb": peak["spill_bytes"] // mb,
         "spill_requests": peak["spill_reqs"],
+        "result_hash": rhash,
     }))
     shutil.rmtree(out_dir, ignore_errors=True)
     ray.shutdown()

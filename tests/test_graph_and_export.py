@@ -107,6 +107,62 @@ def test_page_graph_json_shape():
     assert u3["contents"] == ""  # placeholder has no crawled content
 
 
+def test_page_graph_stream_matches_serial_bytes(ray_session, tmp_path):
+    """The distributed fragment writer and the serial page_graph_to_json
+    reference produce BYTE-identical files (same json.dump formatting,
+    same min-text dedup, same index-sorted children/parents), and the
+    streaming array parser round-trips the file element-for-element."""
+    import json
+
+    import ray.data as rd
+
+    from knowledgegraph__bh_ray.exporters.graph_json import (
+        iter_json_array,
+        page_graph_fragments_ds,
+        page_graph_to_json,
+        write_json_array_stream,
+    )
+
+    records = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(6)],
+            "name": [f"页{i}" for i in range(6)],
+            "contents": [f"摘要{i}" for i in range(6)],
+            "basic_info_json": ['{"中文名": "页"}'] * 6,
+            "catalog_json": ['["简介"]'] * 6,
+            "paragraphs_json": ['["段落"]'] * 6,
+            "references_json": ["[]"] * 6,
+        }
+    )
+    nodes = pd.DataFrame({
+        "url": [f"u{i}" for i in range(8)],
+        "name": [f"页{i}" for i in range(6)] + ["链接甲", "链接乙"],
+        "is_placeholder": [0] * 6 + [1, 1],
+    })
+    edges = pd.DataFrame({
+        # duplicate (u0,u1) with two texts — min text must win in BOTH paths
+        "src_url": ["u0", "u0", "u0", "u1", "u2", "u5", "u3"],
+        "dst_url": ["u1", "u1", "u7", "u2", "u0", "u6", "missing"],
+        "text": ["乙文本", "甲文本", "链接乙", "页2", "页0", "链接甲", "悬空"],
+    })
+    serial = page_graph_to_json(records, nodes, edges)
+    want = json.dumps(serial, ensure_ascii=False)
+
+    frags = page_graph_fragments_ds(
+        rd.from_pandas(records).repartition(3),
+        rd.from_pandas(nodes).repartition(3),
+        rd.from_pandas(edges).repartition(2),
+    )
+    out = str(tmp_path / "graph.json")
+    n = write_json_array_stream(frags, out)
+    got = open(out, encoding="utf-8").read()
+    assert n == len(serial)
+    assert got == want
+    # streaming parse (tiny chunk forces the refill path) == json.loads
+    parsed = list(iter_json_array(out, chunk_bytes=64))
+    assert parsed == serial
+
+
 def test_owl_rdfxml_roundtrip():
     """W7: emit RDF/XML → parse → triple set identical to the triple model;
     csv2owl.py semantics (Class vs NamedIndividual by the larger type set,

@@ -107,12 +107,20 @@ def test_substring_partition_invariance(ray_session, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def serial_bpe(word_counts: dict[str, int], n_merges: int):
-    """Independent classic-BPE reference (Sennrich alg. 1): dict loops,
-    most-frequent pair per round, lexicographic tie-break, stop below 2."""
+def serial_bpe(word_counts: dict[str, int], n_merges: int,
+               merge_batch: int = 1):
+    """Independent serial BPE reference: dict loops, most-frequent pair
+    first, lexicographic tie-break, stop below 2.  ``merge_batch=1`` is
+    classic Sennrich alg. 1; ``merge_batch>1`` is the batched-round
+    variant — per round, greedily take up to ``merge_batch`` pairs in
+    (cnt desc, left, right) order skipping any pair that shares a symbol
+    (left, right, or merged string) with a higher-ranked pick, then apply
+    them in rank order.  Disjoint-symbol merges commute and leave each
+    other's counts exact, so the recorded cnt is the true round-start
+    count for every pick."""
     types = {tuple(list(w) + [END_MARK]): c for w, c in word_counts.items()}
     merges = []
-    for rank in range(n_merges):
+    while len(merges) < n_merges:
         pc: Counter = Counter()
         for syms, c in types.items():
             for i in range(len(syms) - 1):
@@ -120,22 +128,30 @@ def serial_bpe(word_counts: dict[str, int], n_merges: int):
         pc = Counter({p: c for p, c in pc.items() if c >= 2})
         if not pc:
             break
-        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        (left, right), cnt = best
-        merged = left + right
-        merges.append((rank, left, right, merged, cnt))
-        new_types = {}
-        for syms, c in types.items():
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            new_types[tuple(out)] = new_types.get(tuple(out), 0) + c
-        types = new_types
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        picked, used = [], set()
+        for (left, right), cnt in ranked:
+            if len(picked) >= min(merge_batch, n_merges - len(merges)):
+                break
+            if left in used or right in used:
+                continue
+            picked.append((left, right, cnt))
+            used.update((left, right, left + right))
+        for left, right, cnt in picked:
+            merged = left + right
+            merges.append((len(merges), left, right, merged, cnt))
+            new_types = {}
+            for syms, c in types.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_types[tuple(out)] = new_types.get(tuple(out), 0) + c
+            types = new_types
     return merges
 
 
@@ -165,6 +181,40 @@ def test_bpe_early_stop_empty(ray_session, tmp_path):
     # contract here
     assert ds.schema().names == ["rank", "left", "right", "merged", "cnt"]
     assert ds.count() == 0
+
+
+def test_bpe_batched_matches_serial_reference(ray_session, tmp_path):
+    """Batched rounds (merge_batch=8): distributed == the serial batched
+    reference, rank-for-rank."""
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "low lower newest widest wide wide wide",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = (bpe_merges_ds(sf, n_merges=12, merge_batch=8)
+           .to_pandas().sort_values("rank"))
+    wc = Counter(w for t in texts for w in t.split())
+    want = serial_bpe(dict(wc), 12, merge_batch=8)
+    assert len(got) == len(want)
+    for row, (rank, left, right, merged, cnt) in zip(got.itertuples(), want):
+        assert (row.rank, row.left, row.right, row.merged, row.cnt) == (
+            rank, left, right, merged, cnt)
+
+
+def test_bpe_batched_vocab_matches_classic_vocab(ray_session, tmp_path):
+    """The batched variant's merge TABLE may order differently than
+    classic's, but on this fixture the resulting piece vocabulary after
+    enough merges converges — sanity-pin that batching doesn't drop
+    merges (same count, every batched pick has cnt >= 2)."""
+    texts = ["hug hug hug hugs hugs pug pug pun pun pun bun"] * 3
+    sf = _write_docs(tmp_path, texts)
+    classic = bpe_merges_ds(sf, n_merges=10, merge_batch=1).to_pandas()
+    batched = bpe_merges_ds(sf, n_merges=10, merge_batch=4).to_pandas()
+    assert len(batched) == len(classic)
+    assert (batched["cnt"] >= 2).all()
+    assert list(batched["rank"]) == list(range(len(batched)))
 
 
 def test_bpe_deterministic(ray_session, tmp_path):
