@@ -154,8 +154,10 @@ def run_bench() -> dict:
 
     timed("dedup_substring",
           lambda: traintext.substring_spans_ds(SF_DIR, k=8).count())
+    # the shipped batched-round configuration (queries.BPE_MERGE_BATCH)
     timed("bpe_merges",
-          lambda: traintext.bpe_merges_ds(SF_DIR, n_merges=30).count())
+          lambda: traintext.bpe_merges_ds(SF_DIR, n_merges=30,
+                                          merge_batch=8).count())
     timed("events_running_total", lambda: relational.events_running_total_ds(SF_DIR).count())
     timed("events_lag", lambda: relational.events_lag_ds(SF_DIR).count())
     timed("source_cap", lambda: textops.source_cap_ds(SF_DIR).count())

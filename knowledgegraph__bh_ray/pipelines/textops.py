@@ -77,11 +77,29 @@ def dedup_exact_ds(sf_dir: str):
     return hash_partitioned_agg(rows, ["content_hash"], _agg)
 
 
+def _count_regex(texts: pd.Series, pattern: str) -> np.ndarray:
+    """Vectorized non-overlapping regex-match count via Arrow's RE2 kernel
+    (replaces per-row ``len(pat.findall(t))`` map loops — VERDICT r4 item
+    4).  Only for patterns that count identically under RE2 and Python re
+    (no lookahead, no capture-group findall semantics — all three counting
+    patterns here qualify; equality is differential-tested in
+    tests/test_misc_ops.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(texts, type=pa.string())
+    return (
+        pc.count_substring_regex(arr, pattern=pattern)
+        .to_numpy(zero_copy_only=False)
+        .astype("int64")
+    )
+
+
 def lang_id_batch(batch: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFrame:
     """CJK-ratio language-id heuristic: >30% Han chars → zh, else en."""
     texts = batch[text_col]
     n_chars = texts.str.len().astype("int64")
-    n_cjk = texts.map(lambda t: len(RE_CJK.findall(t))).astype("int64")
+    n_cjk = _count_regex(texts, RE_CJK.pattern)
     ratio = np.where(n_chars > 0, n_cjk / np.maximum(n_chars, 1), 0.0)
     return pd.DataFrame(
         {
@@ -107,8 +125,8 @@ def text_quality_ds(sf_dir: str):
                 "n_chars": batch["text"].str.len().astype("int64"),
                 "est_tokens": (batch["text"].str.len() // 2).astype("int64"),  # M17 len//2 heuristic (read_v2.py:39-40)
                 "n_tokens": toks.map(len).astype("int64"),
-                "n_bpe_tokens": batch["text"].map(lambda t: len(RE_BPE.findall(t))).astype("int64"),
-                "n_punct": batch["text"].map(lambda t: len(RE_PUNCT.findall(t))).astype("int64"),
+                "n_bpe_tokens": _count_regex(batch["text"], RE_BPE.pattern),
+                "n_punct": _count_regex(batch["text"], RE_PUNCT.pattern),
                 "n_stopwords": toks.map(
                     lambda ts: sum(1 for t in ts if t.lower() in STOPWORDS)
                 ).astype("int64"),

@@ -336,3 +336,31 @@ def test_heavy_hitters_exact_vs_brute_force(ray_session, tmp_path):
     assert set(got["term"]) == {"hot", "warm"}
     # exactness: counts are TRUE counts, not MG lower bounds
     assert int(got.set_index("term").loc["hot", "cnt"]) == wc["hot"]
+
+
+def test_count_regex_matches_python_findall():
+    """The Arrow RE2 counting kernel must count IDENTICALLY to Python
+    re.findall for the three counting patterns it replaced (mirror hashes
+    depend on it) — randomized mixed CJK/ASCII/punct/whitespace corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from knowledgegraph__bh_ray.pipelines.textops import (
+        RE_BPE,
+        RE_CJK,
+        RE_PUNCT,
+        _count_regex,
+    )
+
+    rng = np.random.RandomState(17)
+    words = ["hello", "world's", "机器", "学习概念", "test123", "a.b,c!?",
+             "概念:关系;", "  spaced\tout  ", "'ll", "x'removed", "12,34.5",
+             "", "——破折号", "naïve café"]
+    texts = pd.Series(
+        [" ".join(rng.choice(words, rng.randint(0, 60))) for _ in range(400)]
+        + ["", "   ", "纯中文没有空格的一段话，包括标点。"]
+    )
+    for pat in (RE_CJK, RE_PUNCT, RE_BPE):
+        got = _count_regex(texts, pat.pattern)
+        want = texts.map(lambda t, p=pat: len(p.findall(t))).to_numpy()
+        assert (got == want).all(), pat.pattern
