@@ -122,3 +122,28 @@ def test_pipeline_tagger_slot_pluggable(ray_session, pages_small, tmp_path):
     assert "mentions" in {r["unit"] for r in res["records"]}
     m = rd.read_parquet(out + "/mentions").to_pandas()
     assert set(m.columns) >= {"url", "para_idx", "entity", "etype", "start", "end"}
+
+
+def test_sharded_counter_exact_across_shards(ray_session):
+    """ShardedCounter: concurrent awaited increments from many remote
+    tasks (different pids → different shards) must sum exactly in
+    get_all(), and reset() clears every shard."""
+    import ray
+
+    from knowledgegraph__bh_ray.state.lineage import ShardedCounter
+
+    c = ShardedCounter(n_shards=4)
+
+    @ray.remote
+    def bump(counter, i):
+        counter.incr_many_blocking({"a": i, "b": 1})
+        return i
+
+    total = sum(ray.get([bump.remote(c, i) for i in range(40)]))
+    got = c.get_all()
+    assert got == {"a": total, "b": 40}
+    # increments actually spread over >1 shard actor (pid routing)
+    per_shard = ray.get([h.get_all.remote() for h in c.shards])
+    assert sum(1 for d in per_shard if d) > 1, per_shard
+    c.reset()
+    assert c.get_all() == {}
