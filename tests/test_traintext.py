@@ -307,6 +307,26 @@ def serial_bpe_encode(texts, merges):
     return out
 
 
+def test_bpe_encode_batched_train_matches_serial(ray_session, tmp_path):
+    """The shipped query configuration (train with merge_batch=8, then
+    encode) equals serial batched-train + serial encode."""
+    from knowledgegraph__bh_ray.pipelines.traintext import bpe_encode_ds
+
+    texts = [
+        "low low low lower lowest newest newest",
+        "the newest widest lowest low newest",
+        "wide wide wider widest",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    wc = Counter(w for t in texts for w in t.lower().split())
+    merges = serial_bpe(dict(wc), 8, merge_batch=8)
+    got = (bpe_encode_ds(sf, n_merges=8, merge_batch=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = serial_bpe_encode(texts, merges)
+    for _, r in got.iterrows():
+        assert (int(r["n_words"]), int(r["n_pieces"])) == ref[int(r["doc_id"])]
+
+
 def test_bpe_encode_matches_serial(ray_session, tmp_path):
     from knowledgegraph__bh_ray.pipelines.traintext import bpe_encode_ds
 
