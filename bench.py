@@ -171,11 +171,22 @@ def run_bench() -> dict:
 
     timed("dedup_semantic", _semdedup)
 
+    # the graph family shares the distinct-edges checkpoint (same policy as
+    # the extracted-text checkpoint above: the parse prefix that produces the
+    # links is priced in the kg_pipeline headline; the checkpoint build is
+    # the same pass, untimed) — so these rows time the graph operators, not
+    # a re-run of link extraction per sample
+    if not HEADLINE_ONLY:
+        from knowledgegraph__bh_ray.queries import ensure_page_edges, page_edges_cached_ds
+
+        ensure_page_edges(SF_DIR, replicas=REPLICAS)
+
     def _kcore(threshold):
         from knowledgegraph__bh_ray.stages.pagerank import k_core_ds
 
         k_core_ds(
-            kg.page_graph_edges_ds(pages), k=4, driver_threshold=threshold
+            page_edges_cached_ds(SF_DIR, replicas=REPLICAS),
+            k=4, driver_threshold=threshold,
         ).count()
 
     # shipped counted-dispatch path, then the distributed rounds forced —
@@ -188,7 +199,7 @@ def run_bench() -> dict:
         from knowledgegraph__bh_ray.stages.pagerank import node_similarity_ds
 
         # same stop-hub default as the registry entry
-        node_similarity_ds(kg.page_graph_edges_ds(pages),
+        node_similarity_ds(page_edges_cached_ds(SF_DIR, replicas=REPLICAS),
                            max_middle_degree=NSIM_MAX_MIDDLE_DEGREE).count()
 
     timed("kg_node_similarity", _nsim)

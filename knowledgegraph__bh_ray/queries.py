@@ -106,6 +106,49 @@ def extracted_cached_ds(sf_dir: str, replicas: int = 1):
     return rd.read_parquet(d, columns=["url", "text_out"], override_num_blocks=nblocks)
 
 
+_PAGE_EDGES_CACHE_ROOT = "/tmp/kgbh_page_edges"
+PAGE_EDGES_CACHE_VERSION = "1"  # bump when link-extraction semantics change
+
+
+def ensure_page_edges(sf_dir: str, replicas: int = 1) -> str:
+    """Distinct page-link edge checkpoint (src_url, dst_url, text), written
+    ONCE per corpus — the ``ensure_extracted`` policy applied to the
+    page-graph family: the parse prefix that produces the links is priced in
+    the headline pipeline, so graph operators (k-core, PageRank rounds, node
+    similarity) are measured over the edge table they actually consume
+    instead of re-paying link extraction per query.  Deterministic,
+    idempotent, atomic (write to tmp dir, rename)."""
+    import shutil
+
+    pages = ensure_pages(sf_dir, replicas=replicas)
+    key = os.path.basename(os.path.dirname(pages))  # e.g. sf0.1_x10
+    out = os.path.join(_PAGE_EDGES_CACHE_ROOT, key)
+    vfile = os.path.join(out, "_VERSION")
+    if os.path.exists(vfile) and open(vfile).read().strip() == PAGE_EDGES_CACHE_VERSION:
+        return out
+    tmp = f"{out}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kg.page_graph_edges_ds(pages).write_parquet(tmp)
+    with open(os.path.join(tmp, "_VERSION"), "w") as f:
+        f.write(PAGE_EDGES_CACHE_VERSION)
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
+def page_edges_cached_ds(sf_dir: str, replicas: int = 1):
+    """Dataset view over the shared page-edges checkpoint, coalesced to
+    ~ncpu blocks."""
+    import ray as _ray
+    import ray.data as rd
+
+    d = ensure_page_edges(sf_dir, replicas=replicas)
+    nblocks = max(16, int(_ray.cluster_resources().get("CPU", 8)))
+    return rd.read_parquet(
+        d, columns=["src_url", "dst_url", "text"], override_num_blocks=nblocks
+    )
+
+
 def _query_vectors(sf_dir: str, ids=(0, 1, 2)) -> dict[int, np.ndarray]:
     """Fetch the query vectors with a parquet row filter — only the wanted
     rows' row groups are decoded, never the whole embeddings table."""
