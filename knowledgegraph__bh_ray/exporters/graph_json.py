@@ -259,7 +259,12 @@ def write_json_array_stream(fragments_ds, path: str,
 def iter_json_array(path: str, chunk_bytes: int = 1 << 22):
     """Stream the elements of a (possibly huge) top-level JSON array from
     disk: incremental ``JSONDecoder.raw_decode`` over a bounded sliding
-    buffer — memory is O(chunk + max element), never O(file)."""
+    buffer — memory is O(chunk + max element), never O(file).
+
+    Elements must be objects/arrays/strings (as in the page-graph artifact):
+    a truncated one raises and triggers a refill.  A BARE numeric/boolean
+    element could decode "successfully" when split exactly at a buffer
+    boundary, so this parser is not for arrays of bare scalars."""
     dec = json.JSONDecoder()
     with open(path, encoding="utf-8") as f:
         buf = f.read(chunk_bytes)

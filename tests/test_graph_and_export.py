@@ -299,3 +299,39 @@ def test_page_edges_checkpoint_equals_from_scratch(ray_session):
     a = cached[key].sort_values(key).reset_index(drop=True)
     b = scratch[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_iter_json_array_adversarial_content(tmp_path):
+    """The incremental array parser must survive element content that looks
+    like JSON structure — '], [', quotes, escaped quotes, braces, unicode —
+    at pathological chunk sizes (every refill path, element boundaries
+    landing mid-string)."""
+    import json
+
+    from knowledgegraph__bh_ray.exporters.graph_json import iter_json_array
+
+    elems = [
+        {"name": 'a"], [b', "v": 1},
+        {"name": '塞}{入 ] 中文, \\" 逃逸', "nested": {"k": ["]", "[", ", "]}},
+        {"escaped": 'line\nbreak\ttab \\ backslash "quote"'},
+        {},
+        {"deep": [[{"x": "]"}], []]},
+        {"unicode": " ￿"},
+    ]
+    p = str(tmp_path / "adv.json")
+    with open(p, "w", encoding="utf-8") as f:
+        json.dump(elems, f, ensure_ascii=False)
+    for chunk in (1, 2, 3, 7, 64, 1 << 22):
+        assert list(iter_json_array(p, chunk_bytes=chunk)) == elems
+
+    # empty array, with and without whitespace padding
+    for body in ("[]", "  [ \n ]  "):
+        q = str(tmp_path / "empty.json")
+        open(q, "w").write(body)
+        assert list(iter_json_array(q, chunk_bytes=2)) == []
+
+    # truncated file must raise, not silently stop
+    r = str(tmp_path / "trunc.json")
+    open(r, "w").write('[{"a": 1}, {"b": ')
+    with pytest.raises((ValueError, json.JSONDecodeError)):
+        list(iter_json_array(r, chunk_bytes=4))
